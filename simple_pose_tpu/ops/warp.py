@@ -1,0 +1,144 @@
+"""Batched on-device affine crop (the cv2.warpAffine replacement).
+
+The reference warps every person crop on CPU dataloader workers
+(commons/transforms.py:139,214; datasets/naive_data.py:50) -- the classic
+input-bound bottleneck.  Here the full (zero-padded) source images live on
+device and crops are sampled inside the jitted step.
+
+Two implementations, same semantics (cv2.warpAffine INTER_LINEAR with
+BORDER_CONSTANT 0, exact float bilinear instead of cv2's 5-bit fixed point):
+
+  * ``affine_crop``            -- general path: 4-neighbor gather, any affine
+                                  (training augmentation includes +-40 deg
+                                  rotation).
+  * ``affine_crop_separable``  -- MXU path for axis-aligned transforms
+                                  (rot == 0, i.e. every eval config): an
+                                  axis-aligned bilinear warp factorizes
+                                  exactly into two interpolation matmuls
+                                  out = R_y @ img @ C_x^T, which XLA tiles
+                                  onto the systolic array -- no gathers.
+
+Matrices follow the cv2.warpAffine convention: ``trans`` maps SOURCE coords
+to DESTINATION coords and is inverted on device (cv2 inverts internally when
+WARP_INVERSE_MAP is not set).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "invert_affine_batch",
+    "affine_crop",
+    "affine_crop_separable",
+]
+
+
+def invert_affine_batch(m):
+    """Invert [..., 2, 3] affines."""
+    a, b, c, d = m[..., 0, 0], m[..., 0, 1], m[..., 1, 0], m[..., 1, 1]
+    tx, ty = m[..., 0, 2], m[..., 1, 2]
+    det = a * d - b * c
+    ia, ib = d / det, -b / det
+    ic, id_ = -c / det, a / det
+    itx = -(ia * tx + ib * ty)
+    ity = -(ic * tx + id_ * ty)
+    row0 = jnp.stack([ia, ib, itx], axis=-1)
+    row1 = jnp.stack([ic, id_, ity], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def _src_coords(inv, out_hw, dtype=jnp.float32):
+    """Map the output pixel grid through [B, 2, 3] dst->src affines.
+
+    Returns (src_x, src_y), each [B, oh, ow]."""
+    oh, ow = out_hw
+    xs = jnp.arange(ow, dtype=dtype)[None, None, :]
+    ys = jnp.arange(oh, dtype=dtype)[None, :, None]
+    inv = inv.astype(dtype)
+    src_x = inv[:, 0, 0, None, None] * xs + inv[:, 0, 1, None, None] * ys + inv[:, 0, 2, None, None]
+    src_y = inv[:, 1, 0, None, None] * xs + inv[:, 1, 1, None, None] * ys + inv[:, 1, 2, None, None]
+    return src_x, src_y
+
+
+def affine_crop(images, trans, out_hw):
+    """General batched bilinear affine crop.
+
+    :param images: [B, H, W, C] (any real dtype; uint8 fine)
+    :param trans: [B, 2, 3] source->dest affines (cv2 convention)
+    :param out_hw: (out_h, out_w)
+    :returns: [B, out_h, out_w, C] float32
+    """
+    b, h, w, c = images.shape
+    oh, ow = out_hw
+    inv = invert_affine_batch(jnp.asarray(trans, dtype=jnp.float32))
+    src_x, src_y = _src_coords(inv, out_hw)
+
+    x0 = jnp.floor(src_x)
+    y0 = jnp.floor(src_y)
+    wx = src_x - x0
+    wy = src_y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    img = images.astype(jnp.float32).reshape(b, h * w, c)
+
+    def tap(xi, yi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take_along_axis(img, idx.reshape(b, oh * ow, 1), axis=1)
+        vals = vals.reshape(b, oh, ow, c)
+        return vals * valid[..., None].astype(jnp.float32)
+
+    v00 = tap(x0, y0)
+    v01 = tap(x0 + 1, y0)
+    v10 = tap(x0, y0 + 1)
+    v11 = tap(x0 + 1, y0 + 1)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def _interp_matrix(starts, steps, out_size, src_size):
+    """[B, out_size, src_size] bilinear interpolation matrices.
+
+    Row ``o`` holds weight (1-frac) at floor(p) and frac at floor(p)+1 where
+    p = starts + o*steps; out-of-range taps get zero weight (BORDER_CONSTANT).
+    """
+    o = jnp.arange(out_size, dtype=jnp.float32)[None, :]  # [1, O]
+    p = starts[:, None] + o * steps[:, None]  # [B, O]
+    p0 = jnp.floor(p)
+    frac = p - p0
+    s = jnp.arange(src_size, dtype=jnp.float32)[None, None, :]  # [1, 1, S]
+    p0 = p0[..., None]  # [B, O, 1]
+    frac = frac[..., None]
+    m = jnp.where(s == p0, 1.0 - frac, 0.0) + jnp.where(s == p0 + 1.0, frac, 0.0)
+    return m  # [B, O, S]
+
+
+def affine_crop_separable(images, trans, out_hw):
+    """Axis-aligned batched bilinear crop as two MXU matmuls.
+
+    Requires trans[:, 0, 1] == trans[:, 1, 0] == 0 (no rotation/shear), which
+    holds for every eval transform (rot=0: datasets/naive_data.py:48-49 and
+    the augment=False path of datasets/coco.py:51-56).  Exact same math as
+    ``affine_crop`` in that regime.
+
+    :returns: [B, out_h, out_w, C] float32
+    """
+    b, h, w, c = images.shape
+    oh, ow = out_hw
+    inv = invert_affine_batch(jnp.asarray(trans, dtype=jnp.float32))
+    # src_x = sx*x + tx ; src_y = sy*y + ty
+    sx, tx = inv[:, 0, 0], inv[:, 0, 2]
+    sy, ty = inv[:, 1, 1], inv[:, 1, 2]
+    ry = _interp_matrix(ty, sy, oh, h)  # [B, oh, H]
+    cx = _interp_matrix(tx, sx, ow, w)  # [B, ow, W]
+    img = images.astype(jnp.float32)
+    # [B, oh, H] @ [B, H, W*C] -> [B, oh, W, C] ; then contract W with cx
+    tmp = jnp.einsum("boh,bhwc->bowc", ry, img, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bxw,bowc->boxc", cx, tmp, preferred_element_type=jnp.float32)
+    return out
