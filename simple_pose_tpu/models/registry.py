@@ -1,0 +1,42 @@
+"""Model registry: the safe replacement for the reference's
+``getattr(eval(cfg['type']), cfg['name'])`` reflection
+(processors/dp_pose_resnet_solver.py:57-61).
+
+Config schema mirrors the reference YAML ``model`` section:
+  type: pose_resnet_dconv | pose_resnet_duc | pose_hrnet
+  name: resnet18..resnet152 / resnext / wide_resnet (resnet types)
+        w32 | w48 (hrnet)
+  num_joints: 17
+  reduction: bool (SE attention, resnet types only)
+"""
+
+from __future__ import annotations
+
+from simple_pose_tpu.models.hrnet import build_hrnet
+from simple_pose_tpu.models.resnet import RESNET_SPECS, build_resnet
+
+__all__ = ["build_model", "MODEL_TYPES"]
+
+MODEL_TYPES = ("pose_resnet_dconv", "pose_resnet_duc", "pose_hrnet")
+
+
+def build_model(model_type: str, name: str = "resnet50", num_joints: int = 17,
+                reduction: bool = False, train: bool = False):
+    if model_type == "pose_resnet_dconv":
+        return build_resnet(name, head="dconv", num_joints=num_joints, se=reduction, train=train)
+    if model_type == "pose_resnet_duc":
+        return build_resnet(name, head="duc", num_joints=num_joints, se=reduction, train=train)
+    if model_type == "pose_hrnet":
+        return build_hrnet(name, num_joints=num_joints, train=train)
+    raise KeyError(f"unknown model type {model_type!r}; choose from {MODEL_TYPES} "
+                   f"(resnet names: {sorted(RESNET_SPECS)})")
+
+
+def build_from_cfg(model_cfg: dict, train: bool = False):
+    return build_model(
+        model_cfg["type"],
+        name=model_cfg.get("name", "resnet50"),
+        num_joints=model_cfg.get("num_joints", 17),
+        reduction=model_cfg.get("reduction", False),
+        train=train,
+    )
