@@ -1,0 +1,264 @@
+"""Host input pipeline: decode + tiny matrix math only; everything heavy
+(crop, augment, target encoding, normalization) runs on-device.
+
+Replaces the reference's DataLoader workers + cv2 transform pipeline
+(commons/transforms.py RefineSimpleTransform + datasets/coco.py collate_fn
++ DistributedSampler).  Per sample the host:
+
+  1. decodes the JPEG and pastes it (RGB) into a fixed uint8 canvas at the
+     origin -- NO interpolation on host, so the device bilinear crop is the
+     single resample, exactly like cv2.warpAffine on the original image
+     (zero padding beyond the true image equals BORDER_CONSTANT 0);
+  2. draws augmentation params (DPG box jitter, scale 0.7-1.3, rot +-40,
+     p=0.5 horizontal flip) from a seeded numpy Generator and composes them
+     into two 2x3 affines (crop matrix, output-space matrix): the image flip
+     is folded into the matrices via hflip_affine, so the host never touches
+     pixels;
+  3. transforms joints into heatmap space (affine_transform_batch parity).
+
+A batch is {canvas u8 [B,S,S,3], trans f32 [B,2,3], joints f32 [B,17,3],
+trans_inv f32 [B,2,3], img_id i64 [B], area/score f32 [B] (det-box eval)}.
+Decoding runs in a thread pool (cv2 releases the GIL) with a prefetch queue;
+per-host sharding replaces DistributedSampler (each process takes a
+contiguous stride of the epoch permutation).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from simple_pose_tpu.data.coco import DetBoxRecord, PoseRecord, JOINT_PAIRS
+from simple_pose_tpu.ops import affine as A
+
+__all__ = ["PosePipeline", "DetBoxPipeline", "RGB_MEAN"]
+
+# normalization parity quirk: mean subtract only, NO std divide
+# (datasets/coco.py:134-136)
+RGB_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+
+
+def _imread_rgb(path):
+    import cv2 as cv
+
+    cv.setNumThreads(0)
+    img = cv.imread(path)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img[..., ::-1]  # BGR -> RGB
+
+
+class _SampleTransform:
+    """Geometry for one sample: reproduces RefineSimpleTransform.__call__
+    (commons/transforms.py:193-223) with the image flip/warp folded into
+    matrices."""
+
+    def __init__(self, input_shape=(192, 256), output_shape=(48, 64),
+                 scale=(0.7, 1.3), rot=(-40, 40), rand_crop=True, flip=True):
+        self.input_shape = input_shape
+        self.output_shape = output_shape
+        self.w_h_ratio = input_shape[0] / input_shape[1]
+        self.scale = scale
+        self.rot = rot
+        self.rand_crop = rand_crop
+        self.flip = flip
+
+    def __call__(self, rec: PoseRecord, rng: np.random.Generator, augment: bool):
+        joints = rec.joints.copy()
+        bbox = list(rec.box)
+        if augment and self.rand_crop:
+            bbox = A.box_jitter(bbox, rec.width, rec.height, rng)
+        x1, y1, x2, y2 = bbox
+        center, scale = A.box_to_center_scale(x1, y1, x2 - x1, y2 - y1, self.w_h_ratio)
+        if augment:
+            scale = scale * rng.uniform(self.scale[0], self.scale[1])
+            rot = rng.uniform(self.rot[0], self.rot[1])
+        else:
+            rot = 0.0
+        flipped = augment and self.flip and rng.uniform() < 0.5
+        if flipped:
+            joints = A.flip_joints(joints, rec.width, JOINT_PAIRS)
+            center = center.copy()
+            center[0] = rec.width - center[0] - 1
+
+        img_trans, _ = A.get_affine_transform(center, scale, rot, self.input_shape)
+        out_trans, out_trans_inv = A.get_affine_transform(center, scale, rot, self.output_shape)
+        if flipped:
+            # fold np.fliplr into the sampling matrices (image stays unflipped)
+            f = A.hflip_affine(rec.width)
+            img_trans = A.compose_affine(img_trans, f)
+        joints_out = A.affine_transform_joints(joints, out_trans)
+        return (
+            img_trans.astype(np.float32),
+            joints_out.astype(np.float32),
+            np.asarray(out_trans_inv, dtype=np.float32),
+        )
+
+
+class _Prefetcher:
+    """Thread-pool batch producer with a bounded prefetch queue."""
+
+    def __init__(self, make_batch, num_batches, num_threads=8, prefetch=4):
+        self._q = queue.Queue(maxsize=prefetch)
+        self._make_batch = make_batch
+        self._num = num_batches
+        self._threads = num_threads
+
+    def __iter__(self):
+        indices = queue.Queue()
+        for i in range(self._num):
+            indices.put(i)
+        results = {}
+        lock = threading.Lock()
+        cond = threading.Condition(lock)
+
+        def worker():
+            while True:
+                try:
+                    i = indices.get_nowait()
+                except queue.Empty:
+                    return
+                b = self._make_batch(i)
+                with cond:
+                    results[i] = b
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self._threads)]
+        for t in threads:
+            t.start()
+        for i in range(self._num):
+            with cond:
+                while i not in results:
+                    cond.wait()
+                yield results.pop(i)
+
+
+class PosePipeline:
+    """Training/val batches from PoseRecords.
+
+    :param canvas: fixed square canvas edge (COCO images are <= 640)
+    :param per_host: if True, shard the epoch across jax processes
+    """
+
+    def __init__(self, records: Sequence[PoseRecord], batch_size: int,
+                 input_shape=(192, 256), output_shape=(48, 64), canvas: int = 640,
+                 augment: bool = True, shuffle: bool = True, seed: int = 1024,
+                 num_threads: int = 8, prefetch: int = 4,
+                 process_index: int = 0, process_count: int = 1,
+                 drop_last: bool = True):
+        self.records = list(records)
+        self.batch_size = batch_size
+        self.canvas = canvas
+        self.augment = augment
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+        self.transform = _SampleTransform(input_shape=input_shape, output_shape=output_shape)
+        self.num_joints = self.records[0].joints.shape[0] if self.records else 17
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        n = len(self.records)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + epoch).permutation(n)
+        return order[self.process_index::self.process_count]
+
+    def batches_per_epoch(self) -> int:
+        n = len(self._epoch_order(0))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_sample(self, rec: PoseRecord, rng: np.random.Generator):
+        img = _imread_rgb(rec.img_path)
+        h, w = img.shape[:2]
+        canvas = np.zeros((self.canvas, self.canvas, 3), dtype=np.uint8)
+        ch, cw = min(h, self.canvas), min(w, self.canvas)
+        canvas[:ch, :cw] = img[:ch, :cw]
+        trans, joints_out, trans_inv = self.transform(rec, rng, self.augment)
+        return canvas, trans, joints_out, trans_inv
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        order = self._epoch_order(epoch)
+        bs = self.batch_size
+        nb = self.batches_per_epoch()
+
+        def make_batch(bi):
+            idxs = order[bi * bs:(bi + 1) * bs]
+            real = len(idxs)
+            if real < bs:  # pad to fixed shape; mask via 'valid'
+                idxs = np.concatenate([idxs, np.repeat(idxs[-1:], bs - real)])
+            canvases = np.zeros((bs, self.canvas, self.canvas, 3), dtype=np.uint8)
+            trans = np.zeros((bs, 2, 3), dtype=np.float32)
+            joints = np.zeros((bs, self.num_joints, 3), dtype=np.float32)
+            trans_inv = np.zeros((bs, 2, 3), dtype=np.float32)
+            img_ids = np.zeros((bs,), dtype=np.int64)
+            valid = np.zeros((bs,), dtype=np.float32)
+            for k, ridx in enumerate(idxs):
+                rec = self.records[ridx]
+                rng = np.random.default_rng((self.seed, epoch, int(ridx)))
+                c, t, j, ti = self._load_sample(rec, rng)
+                canvases[k] = c
+                trans[k] = t
+                joints[k] = j
+                trans_inv[k] = ti
+                img_ids[k] = rec.img_id
+                valid[k] = 1.0 if k < real else 0.0
+            return {
+                "canvas": canvases, "trans": trans, "joints": joints,
+                "trans_inv": trans_inv, "img_id": img_ids, "valid": valid,
+            }
+
+        return iter(_Prefetcher(make_batch, nb, self.num_threads, self.prefetch))
+
+
+class DetBoxPipeline(PosePipeline):
+    """Eval batches from detector boxes (datasets/naive_data.py BasicTransform:
+    identity augmentation, plus per-instance area = scale_w * scale_h and the
+    detector score)."""
+
+    def __init__(self, records: Sequence[DetBoxRecord], batch_size: int, **kw):
+        kw.setdefault("augment", False)
+        kw.setdefault("shuffle", False)
+        kw.setdefault("drop_last", False)
+        pose_records = [
+            PoseRecord(r.img_path, 0, 0, r.box, np.zeros((17, 3), np.float32), r.img_id) for r in records
+        ]
+        super().__init__(pose_records, batch_size, **kw)
+        self.det_records = list(records)
+
+    def _load_sample(self, rec: PoseRecord, rng):
+        img = _imread_rgb(rec.img_path)
+        h, w = img.shape[:2]
+        canvas = np.zeros((self.canvas, self.canvas, 3), dtype=np.uint8)
+        ch, cw = min(h, self.canvas), min(w, self.canvas)
+        canvas[:ch, :cw] = img[:ch, :cw]
+        x1, y1, x2, y2 = rec.box
+        center, scale = A.box_to_center_scale(x1, y1, x2 - x1, y2 - y1, self.transform.w_h_ratio)
+        trans, _ = A.get_affine_transform(center, scale, 0, self.transform.input_shape)
+        _, trans_inv = A.get_affine_transform(center, scale, 0, self.transform.output_shape)
+        joints = np.zeros((self.num_joints, 3), dtype=np.float32)
+        return canvas, trans.astype(np.float32), joints, np.asarray(trans_inv, np.float32)
+
+    def epoch(self, epoch: int = 0):
+        for bi, batch in enumerate(super().epoch(epoch)):
+            bs = self.batch_size
+            start = bi * bs
+            areas = np.zeros((bs,), dtype=np.float32)
+            scores = np.zeros((bs,), dtype=np.float32)
+            for k in range(bs):
+                ridx = min(start + k, len(self.det_records) - 1)
+                r = self.det_records[ridx]
+                x1, y1, x2, y2 = r.box
+                _, scale = A.box_to_center_scale(x1, y1, x2 - x1, y2 - y1, self.transform.w_h_ratio)
+                areas[k] = scale[0] * scale[1]
+                scores[k] = r.score
+            batch["joints"][:] = 0.0
+            batch["area"] = areas
+            batch["score"] = scores
+            yield batch

@@ -26,11 +26,13 @@ WARP_INVERSE_MAP is not set).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = [
     "invert_affine_batch",
     "affine_crop",
     "affine_crop_separable",
+    "affine_crop_mxu",
 ]
 
 
@@ -142,3 +144,119 @@ def affine_crop_separable(images, trans, out_hw):
     tmp = jnp.einsum("boh,bhwc->bowc", ry, img, preferred_element_type=jnp.float32)
     out = jnp.einsum("bxw,bowc->boxc", cx, tmp, preferred_element_type=jnp.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MXU path for general (rotated) affines.
+#
+# XLA's gather is near-serial on TPU (~70M taps/s: a 128x256x192 crop batch
+# costs ~350ms -- measured), so the general warp is reformulated as matrix
+# multiplies:
+#
+#   inv = [A | t],  A = D @ R   with D = diag(row norms), R unit-row.
+#   Stage 1: intermediate I(u) = canvas(D u + t - D u0) -- axis-aligned,
+#            the two separable interpolation matmuls of affine_crop_separable
+#            (exact bilinear).
+#   Stage 2: out(x) = I(R x + u0) -- a bounded "rotation" resample done with
+#            one-hot bilinear interpolation matrices built on the fly from
+#            iota comparisons and contracted on the MXU (two chained
+#            matmuls per output-row block, scanned to bound memory).
+#
+# By Cauchy-Schwarz the rotated output rect spans < 321 px in each u axis for
+# ANY input affine, so the intermediate size is static.  u0 is rounded to an
+# integer, so when A is axis-aligned R == identity and stage 2 reduces to an
+# exact integer passthrough: the eval path (rot=0) remains single-resample
+# cv2 parity.  With rotation, the result composes two bilinear resamples --
+# within the interpolation tolerance of cv2's own 5-bit fixed-point weights
+# (training augmentation only; see tests/test_warp.py).
+# ---------------------------------------------------------------------------
+
+
+def _onehot_lerp(pos, size, dtype):
+    """[..., size] matrix: rows are 2-tap bilinear one-hots at positions pos.
+
+    Out-of-range taps get zero weight (BORDER_CONSTANT semantics)."""
+    p0 = jnp.floor(pos)
+    frac = (pos - p0)[..., None]
+    s = jnp.arange(size, dtype=jnp.float32)
+    p0 = p0[..., None]
+    m = jnp.where(s == p0, 1.0 - frac, 0.0) + jnp.where(s == p0 + 1.0, frac, 0.0)
+    return m.astype(dtype)
+
+
+def affine_crop_mxu(images, trans, out_hw, inter: int = 328, row_block: int = 16,
+                    compute_dtype=jnp.bfloat16):
+    """General batched bilinear affine crop on the MXU (no gathers).
+
+    Same signature/semantics as ``affine_crop``.  Requires
+    max(out_h, out_w) <= hypot(out_h, out_w) <= inter - 4.
+
+    :param inter: static intermediate patch edge (default 328 covers
+        256x192 crops under any rotation: hypot = 320)
+    :param row_block: output rows per scanned stage-2 block
+    :param compute_dtype: matmul element type; bf16 weight error (~2^-8) is
+        below cv2's own 1/32 fixed-point interpolation grid
+    """
+    b, h, w, c = images.shape
+    oh, ow = out_hw
+    assert (oh**2 + ow**2) ** 0.5 <= inter - 4, "intermediate too small for this crop size"
+    assert oh % row_block == 0, "row_block must divide out_h"
+    inv = invert_affine_batch(jnp.asarray(trans, dtype=jnp.float32))
+    a_mat = inv[:, :, :2]  # [B, 2, 2]
+    t_vec = inv[:, :, 2]  # [B, 2]
+
+    # A = D @ R, D = diag(||row0||, ||row1||); R rows are unit vectors.
+    d0 = jnp.linalg.norm(a_mat[:, 0, :], axis=-1) + 1e-12
+    d1 = jnp.linalg.norm(a_mat[:, 1, :], axis=-1) + 1e-12
+    r_mat = a_mat / jnp.stack([d0, d1], axis=-1)[..., None]  # [B, 2, 2]
+
+    # u0: integer offset placing u = R x + u0 inside [0, inter)
+    corners = jnp.asarray(
+        [[0.0, 0.0], [ow - 1.0, 0.0], [0.0, oh - 1.0], [ow - 1.0, oh - 1.0]], dtype=jnp.float32
+    )  # (x, y) pairs
+    u_corners = jnp.einsum("bij,kj->bki", r_mat, corners)  # [B, 4, 2]
+    u0 = jnp.ceil(-jnp.min(u_corners, axis=1)) + 1.0  # [B, 2] integer-valued
+
+    # ---- stage 1: separable resample canvas -> intermediate [B, inter, inter, C]
+    # src = D u + (t - D u0)
+    t1x = t_vec[:, 0] - d0 * u0[:, 0]
+    t1y = t_vec[:, 1] - d1 * u0[:, 1]
+    ry = _interp_matrix(t1y, d1, inter, h).astype(compute_dtype)  # [B, inter, H]
+    cx = _interp_matrix(t1x, d0, inter, w).astype(compute_dtype)  # [B, inter, W]
+    img = images.astype(compute_dtype)
+    tmp = jnp.einsum("boh,bhwc->bowc", ry, img, preferred_element_type=jnp.float32)
+    inter_img = jnp.einsum(
+        "bxw,bowc->boxc", cx, tmp.astype(compute_dtype), preferred_element_type=jnp.float32
+    )  # [B, inter, inter, C]
+    inter_c = inter_img.astype(compute_dtype)
+
+    # ---- stage 2: rotation resample via one-hot matmuls, scanned over row blocks
+    xs = jnp.arange(ow, dtype=jnp.float32)
+    n_blocks = oh // row_block
+
+    def block(carry, blk):
+        y_start = blk * row_block
+        ys_blk = y_start + jnp.arange(row_block, dtype=jnp.float32)
+        # u = R [x, y] + u0 for the block grid
+        ux = (
+            r_mat[:, 0, 0, None, None] * xs[None, None, :]
+            + r_mat[:, 0, 1, None, None] * ys_blk[None, :, None]
+            + u0[:, 0, None, None]
+        )  # [B, row_block, ow]
+        uy = (
+            r_mat[:, 1, 0, None, None] * xs[None, None, :]
+            + r_mat[:, 1, 1, None, None] * ys_blk[None, :, None]
+            + u0[:, 1, None, None]
+        )
+        q = row_block * ow
+        v = _onehot_lerp(ux.reshape(b, q), inter, compute_dtype)  # [B, q, inter] (x taps)
+        u_m = _onehot_lerp(uy.reshape(b, q), inter, compute_dtype)  # [B, q, inter] (y taps)
+        # contract x taps: P[b, h, q, c] = sum_w I[b, h, w, c] V[b, q, w]
+        p = jnp.einsum("bhwc,bqw->bhqc", inter_c, v, preferred_element_type=jnp.float32)
+        # pick y taps per output pixel: out[b, q, c] = sum_h U[b, q, h] P[b, h, q, c]
+        out = jnp.einsum("bqh,bhqc->bqc", u_m, p.astype(compute_dtype), preferred_element_type=jnp.float32)
+        return carry, out.reshape(b, row_block, ow, c)
+
+    _, blocks = lax.scan(block, 0, jnp.arange(n_blocks))
+    # [n_blocks, B, row_block, ow, c] -> [B, oh, ow, c]
+    return blocks.transpose(1, 0, 2, 3, 4).reshape(b, oh, ow, c)

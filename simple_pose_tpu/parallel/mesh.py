@@ -1,0 +1,58 @@
+"""Device mesh + sharding helpers.
+
+One SPMD program replaces the reference's three parallel code paths
+(nn.DataParallel, DistributedDataParallel+NCCL, SyncBatchNorm): the batch
+axis is sharded over a ``data`` mesh axis; XLA inserts the gradient psum and
+the BatchNorm statistics reductions over ICI automatically.  A second
+``model`` axis is reserved so tensor/branch-parallel shardings can be layered
+in without restructuring (SURVEY.md section 2: parallelism plan).
+
+Multi-host: call jax.distributed.initialize() before make_mesh; each process
+feeds only its addressable shard of the batch
+(jax.make_array_from_process_local_data).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+
+
+def make_mesh(mesh_spec: Optional[dict] = None, devices=None) -> Mesh:
+    """:param mesh_spec: {'data': n} / {'data': n, 'model': m}; -1 = fill."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    spec = dict(mesh_spec or {"data": -1})
+    sizes = list(spec.values())
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1])) or 1
+        fill = len(devices) // known
+        sizes = [s if s != -1 else fill for s in sizes]
+    total = int(np.prod(sizes))
+    return Mesh(devices[:total].reshape(sizes), tuple(spec.keys()))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 over the data axis; everything else replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
+    """Place a host batch dict onto the mesh, dim-0 sharded.
+
+    Single-process: device_put with a NamedSharding.  Multi-host: each
+    process contributes its local shard."""
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, v) for k, v in batch.items()
+        }
+    return jax.device_put(batch, sharding)

@@ -1,0 +1,98 @@
+"""Typed training configuration + YAML loader.
+
+Schema mirrors the reference configs (configs/dp_fast_pose.yaml:1-30):
+data / model / optim / val sections plus model_name.  The reference's
+``gpus`` list becomes ``mesh``: named axis sizes for the device mesh
+(data-parallel by default); DP vs DDP is no longer a code-path distinction
+-- one SPMD program covers both.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import yaml
+
+__all__ = ["DataConfig", "ModelConfig", "OptimConfig", "ValConfig", "TrainConfig", "load_config"]
+
+
+@dataclass
+class DataConfig:
+    train_ann_path: str = ""
+    val_ann_path: str = ""
+    train_img_root: str = ""
+    val_img_root: str = ""
+    batch_size: int = 128
+    num_workers: int = 8
+    debug: int = 0
+    canvas: int = 640
+    input_shape: Tuple[int, int] = (192, 256)  # (w, h) like the reference
+
+
+@dataclass
+class ModelConfig:
+    type: str = "pose_resnet_dconv"
+    name: str = "resnet50"
+    num_joints: int = 17
+    pretrained: str = ""  # path to a converted/torch checkpoint, or empty
+    reduction: bool = False
+
+
+@dataclass
+class OptimConfig:
+    optimizer: str = "adam"
+    lr: float = 1e-3
+    milestones: List[int] = field(default_factory=lambda: [120, 160])
+    epochs: int = 180
+    gamma: float = 0.1
+    weight_decay: float = 0.0
+    momentum: float = 0.9
+    schedule: str = "multistep"  # multistep | warmup_cosine_multistep | epoch_warmup_cosine
+    warm_up_epoch: int = 1
+    ema: bool = True
+    amp: bool = True  # bf16 compute on TPU (no GradScaler needed)
+
+
+@dataclass
+class ValConfig:
+    interval: int = 1
+    weight_path: str = "weights"
+
+
+@dataclass
+class TrainConfig:
+    model_name: str = "fast_pose_tpu"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    val: ValConfig = field(default_factory=ValConfig)
+    mesh: dict = field(default_factory=lambda: {"data": -1})  # -1: all devices
+    seed: int = 1024
+
+
+def _merge(dc, d: dict):
+    for k, v in (d or {}).items():
+        if hasattr(dc, k):
+            cur = getattr(dc, k)
+            if isinstance(v, list) and isinstance(cur, tuple):
+                v = tuple(v)
+            setattr(dc, k, v)
+    return dc
+
+
+def load_config(path_or_dict) -> TrainConfig:
+    if isinstance(path_or_dict, str):
+        with open(path_or_dict) as rf:
+            raw = yaml.safe_load(rf)
+    else:
+        raw = dict(path_or_dict)
+    cfg = TrainConfig()
+    cfg.model_name = raw.get("model_name", cfg.model_name)
+    cfg.seed = raw.get("seed", cfg.seed)
+    cfg.mesh = raw.get("mesh", cfg.mesh)
+    _merge(cfg.data, raw.get("data"))
+    _merge(cfg.model, raw.get("model"))
+    _merge(cfg.optim, raw.get("optim"))
+    _merge(cfg.val, raw.get("val"))
+    return cfg

@@ -1,0 +1,110 @@
+"""Host input pipeline: shapes, determinism, sharding, crop parity."""
+
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+
+from simple_pose_tpu.data.coco import load_coco_keypoints
+from simple_pose_tpu.data.pipeline import PosePipeline
+from tests.util_synth import make_synth_coco
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    return make_synth_coco(str(root), num_images=8)
+
+
+def test_load_records(synth):
+    img_root, ann_path, gt = synth
+    recs = load_coco_keypoints(img_root, ann_path)
+    assert len(recs) == 8
+    assert recs[0].joints.shape == (17, 3)
+    assert set(recs[0].joints[:, 2].tolist()) <= {0.0, 1.0}
+
+
+def test_batch_shapes_and_determinism(synth):
+    img_root, ann_path, _ = synth
+    recs = load_coco_keypoints(img_root, ann_path)
+    pipe = PosePipeline(recs, batch_size=4, canvas=192, seed=7)
+    b1 = list(pipe.epoch(0))
+    pipe2 = PosePipeline(recs, batch_size=4, canvas=192, seed=7)
+    b2 = list(pipe2.epoch(0))
+    assert len(b1) == 2
+    assert b1[0]["canvas"].shape == (4, 192, 192, 3)
+    assert b1[0]["trans"].shape == (4, 2, 3)
+    assert b1[0]["joints"].shape == (4, 17, 3)
+    for k in b1[0]:
+        np.testing.assert_array_equal(b1[0][k], b2[0][k])
+    # different epoch -> different augmentation
+    b3 = next(iter(pipe.epoch(1)))
+    assert not np.array_equal(b3["trans"], b1[0]["trans"])
+
+
+def test_per_host_sharding_disjoint(synth):
+    img_root, ann_path, _ = synth
+    recs = load_coco_keypoints(img_root, ann_path)
+    ids = []
+    for pi in range(2):
+        pipe = PosePipeline(recs, batch_size=4, canvas=192, shuffle=False,
+                            process_index=pi, process_count=2)
+        ids.append({int(i) for b in pipe.epoch(0) for i in b["img_id"]})
+    assert ids[0].isdisjoint(ids[1])
+    assert len(ids[0] | ids[1]) == 8
+
+
+def test_identity_crop_parity_with_cv2(synth):
+    """augment=False path: device-sampling the canvas with the pipeline's
+    matrix must equal cv2.warpAffine on the original image."""
+    import jax.numpy as jnp
+
+    from simple_pose_tpu.ops.warp import affine_crop
+
+    img_root, ann_path, _ = synth
+    recs = load_coco_keypoints(img_root, ann_path)
+    pipe = PosePipeline(recs, batch_size=4, canvas=192, augment=False, shuffle=False,
+                        input_shape=(48, 64), output_shape=(12, 16))
+    batch = next(iter(pipe.epoch(0)))
+    crops = np.asarray(affine_crop(jnp.asarray(batch["canvas"]), jnp.asarray(batch["trans"]), (64, 48)))
+    for k in range(4):
+        rec = recs[k]
+        img = cv.imread(rec.img_path)[..., ::-1]
+        ref = cv.warpAffine(img, batch["trans"][k].astype(np.float64), (48, 64), flags=cv.INTER_LINEAR)
+        assert np.abs(crops[k] - ref.astype(np.float32)).mean() < 1.0
+
+
+def test_augmented_joints_match_crop_geometry(synth):
+    """Joints shipped in output space must land where the cropped pixels say
+    they are: warp the canvas with the (augmented, possibly flipped) matrix
+    and check a bright marker painted at a joint lands at joints_out * 4."""
+    import jax.numpy as jnp
+
+    from simple_pose_tpu.ops.warp import affine_crop
+
+    img_root, ann_path, _ = synth
+    recs = load_coco_keypoints(img_root, ann_path)
+    # paint a white dot at joint 0 of each record's image
+    marked = []
+    for rec in recs[:4]:
+        img = cv.imread(rec.img_path)[..., ::-1].copy()
+        x, y = int(rec.joints[0, 0]), int(rec.joints[0, 1])
+        img[max(0, y - 1):y + 2, max(0, x - 1):x + 2] = 255
+        marked.append(img)
+
+    pipe = PosePipeline(recs[:4], batch_size=4, canvas=192, augment=True, shuffle=False, seed=3,
+                        input_shape=(48, 64), output_shape=(12, 16))
+    batch = next(iter(pipe.epoch(0)))
+    canv = batch["canvas"].copy()
+    for k in range(4):
+        canv[k] = 0
+        h, w = marked[k].shape[:2]
+        canv[k, :h, :w] = marked[k]
+    crops = np.asarray(affine_crop(jnp.asarray(canv), jnp.asarray(batch["trans"]), (64, 48)))
+    for k in range(4):
+        jx, jy = batch["joints"][k, 0, :2] * 4.0  # output space (stride 4) -> crop px
+        # flip may have moved joint 0 (the nose has no pair, stays index 0)
+        if not (0 <= jx < 48 and 0 <= jy < 64):
+            continue
+        patch = crops[k, max(0, int(jy) - 3):int(jy) + 4, max(0, int(jx) - 3):int(jx) + 4]
+        assert patch.max() > 180, f"marker not found at joint for sample {k}"

@@ -1,0 +1,89 @@
+"""SPMD solver: train steps on the virtual 8-device mesh, val AP, resume."""
+
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+
+import jax
+
+from simple_pose_tpu.train.config import load_config
+from simple_pose_tpu.train.solver import PoseSolver
+from simple_pose_tpu.parallel.mesh import make_mesh
+from tests.util_synth import make_synth_coco
+
+
+def _cfg(img_root, ann_path, tmp, **optim):
+    return load_config({
+        "model_name": "test",
+        "data": {
+            "train_ann_path": ann_path, "val_ann_path": ann_path,
+            "train_img_root": img_root, "val_img_root": img_root,
+            "batch_size": 8, "num_workers": 2, "canvas": 192,
+            "input_shape": [64, 64],
+        },
+        "model": {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        "optim": {"lr": 1e-3, "milestones": [2], "epochs": 3, "gamma": 0.1, **optim},
+        "val": {"interval": 1, "weight_path": str(tmp / "weights")},
+        "mesh": {"data": 8},
+        "seed": 11,
+    })
+
+
+@pytest.fixture(scope="module")
+def solver_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_root, ann_path, _ = make_synth_coco(str(root), num_images=16)
+    return img_root, ann_path, root
+
+
+def test_train_steps_on_8_device_mesh(solver_env):
+    img_root, ann_path, root = solver_env
+    solver = PoseSolver(_cfg(img_root, ann_path, root))
+    assert solver.mesh.devices.size == 8
+    solver.init_state()
+    m1 = solver.train_epoch(0, log_every=0)
+    assert np.isfinite(m1["loss"]) and m1["loss"] > 0
+    assert int(solver.state.step) == solver.train_pipe.batches_per_epoch()
+    # EMA must have moved off the init params
+    p = jax.tree.leaves(solver.state.params)[0]
+    e = jax.tree.leaves(solver.state.ema_params)[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+    m2 = solver.train_epoch(1, log_every=0)
+    assert np.isfinite(m2["loss"])
+
+
+def test_validate_produces_ap(solver_env, tmp_path):
+    img_root, ann_path, root = solver_env
+    solver = PoseSolver(_cfg(img_root, ann_path, root))
+    solver.init_state()
+    stats = solver.validate(0, results_path=str(tmp_path / "res.json"))
+    assert "AP" in stats and 0.0 <= stats["AP"] <= 1.0 or stats["AP"] == -1.0
+
+
+def test_checkpoint_roundtrip(solver_env):
+    img_root, ann_path, root = solver_env
+    solver = PoseSolver(_cfg(img_root, ann_path, root))
+    solver.init_state()
+    solver.train_epoch(0, log_every=0)
+    solver.save_checkpoint(epoch=0, val_ap=0.5)
+    step_before = int(solver.state.step)
+    params_before = np.asarray(jax.tree.leaves(solver.state.params)[0])
+
+    solver2 = PoseSolver(_cfg(img_root, ann_path, root))
+    solver2.init_state()
+    start = solver2.restore_checkpoint()
+    assert start == 1
+    assert int(solver2.state.step) == step_before
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(solver2.state.params)[0]), params_before)
+    assert solver2.best_ap == 0.5
+
+
+def test_amp_bf16_step(solver_env):
+    img_root, ann_path, root = solver_env
+    solver = PoseSolver(_cfg(img_root, ann_path, root, amp=True))
+    solver.init_state()
+    m = solver.train_epoch(0, log_every=0)
+    assert np.isfinite(m["loss"])
+    # params stay f32 master copies
+    assert jax.tree.leaves(solver.state.params)[0].dtype == np.float32

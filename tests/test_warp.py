@@ -92,3 +92,39 @@ def test_invert_affine_batch():
     inv = np.asarray(W.invert_affine_batch(jnp.asarray(ms)))
     for i in range(5):
         np.testing.assert_allclose(inv[i], A.invert_affine(ms[i]), atol=1e-4)
+
+
+def test_mxu_crop_axis_aligned_matches_general():
+    rng = np.random.default_rng(6)
+    imgs = np.stack([_smooth_image(rng) for _ in range(2)])
+    transes = np.stack([_crop_trans(rng, (0, 0)).astype(np.float32) for _ in range(2)])
+    general = np.asarray(W.affine_crop(jnp.asarray(imgs), jnp.asarray(transes), (256, 192)))
+    mxu = np.asarray(
+        W.affine_crop_mxu(jnp.asarray(imgs), jnp.asarray(transes), (256, 192), compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(mxu, general, atol=0.05)
+
+
+def test_mxu_crop_rotated_close_to_general():
+    rng = np.random.default_rng(7)
+    imgs = np.stack([_smooth_image(rng) for _ in range(2)])
+    transes = np.stack([_crop_trans(rng, (-40, 40)).astype(np.float32) for _ in range(2)])
+    general = np.asarray(W.affine_crop(jnp.asarray(imgs), jnp.asarray(transes), (256, 192)))
+    mxu = np.asarray(
+        W.affine_crop_mxu(jnp.asarray(imgs), jnp.asarray(transes), (256, 192), compute_dtype=jnp.float32)
+    )
+    # double bilinear resample vs single: ~1.5 intensity levels mean (0.6% of
+    # range) -- pixel smoothing only; crop geometry and heatmap targets are
+    # matrix-exact, and this path is used for train-time augmentation only
+    # (eval transforms are axis-aligned and hit the exact stage-1-only path).
+    assert np.abs(mxu - general).mean() < 2.5
+
+
+def test_mxu_crop_zero_border():
+    img = np.full((1, 100, 100, 3), 200, dtype=np.uint8)
+    trans, _ = A.get_affine_transform(np.array([500.0, 500.0]), np.array([50.0, 66.7]), 20.0, (192, 256))
+    out = np.asarray(
+        W.affine_crop_mxu(jnp.asarray(img), jnp.asarray(trans.astype(np.float32))[None], (256, 192),
+                          compute_dtype=jnp.float32)
+    )
+    assert np.abs(out).max() < 1e-3

@@ -1,0 +1,45 @@
+"""Synthetic mini-COCO dataset builder shared by pipeline/train/eval tests."""
+
+import json
+import os
+
+import numpy as np
+
+
+def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per_image=1):
+    """Writes {root}/imgs/*.jpg and {root}/ann.json; returns (img_root, ann_path, gt dict)."""
+    import cv2 as cv
+
+    rng = np.random.default_rng(seed)
+    img_root = os.path.join(root, "imgs")
+    os.makedirs(img_root, exist_ok=True)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, num_images + 1):
+        img = rng.integers(0, 255, size=(img_h, img_w, 3), dtype=np.uint8)
+        file_name = f"{img_id:012d}.jpg"
+        cv.imwrite(os.path.join(img_root, file_name), img)
+        images.append({"id": img_id, "width": img_w, "height": img_h,
+                       "coco_url": f"http://x/{file_name}", "file_name": file_name})
+        for _ in range(people_per_image):
+            kp = np.zeros((17, 3), dtype=np.float64)
+            cx, cy = rng.uniform(40, img_w - 40), rng.uniform(30, img_h - 30)
+            kp[:, 0] = np.clip(rng.normal(cx, 12, 17), 2, img_w - 3)
+            kp[:, 1] = np.clip(rng.normal(cy, 16, 17), 2, img_h - 3)
+            kp[:, 2] = 2
+            x0, y0 = kp[:, 0].min() - 5, kp[:, 1].min() - 5
+            x1, y1 = kp[:, 0].max() + 5, kp[:, 1].max() + 5
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "keypoints": kp.reshape(-1).tolist(), "num_keypoints": 17,
+                "area": float((x1 - x0) * (y1 - y0)),
+                "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+                "iscrowd": 0,
+            })
+            ann_id += 1
+    gt = {"images": images, "annotations": annotations,
+          "categories": [{"id": 1, "name": "person"}]}
+    ann_path = os.path.join(root, "ann.json")
+    with open(ann_path, "w") as wf:
+        json.dump(gt, wf)
+    return img_root, ann_path, gt
