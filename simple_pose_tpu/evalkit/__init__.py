@@ -1,0 +1,7 @@
+from simple_pose_tpu.evalkit.workflows import (
+    PoseEvaluator,
+    predicts_by_gt,
+    predicts_by_detections,
+    rescore_and_filter,
+    kps_to_dicts,
+)

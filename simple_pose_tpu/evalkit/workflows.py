@@ -1,0 +1,240 @@
+"""Evaluation workflows (the four eval.py flows of the reference).
+
+  * predicts_by_gt          -> eval.py:30-66: GT-box eval on the keypoints
+                               val set, GaussTaylor decode, COCO AP.
+  * predicts_by_detections  -> eval.py:101-150: eval on an external person-
+                               detection json (e.g. the shared
+                               COCO_val2017_detections_AP_H_56_person.json).
+  * rescore_and_filter      -> eval.py:153-197: per-image rescoring
+                               (box_score * mean(kp conf > 0.2)) + OKS-NMS
+                               at 0.9, then COCO AP.
+  * gen_detections          -> eval.py:69-98: run the person detector over
+                               the val set (simple_pose_tpu.detector).
+
+Extras over the reference:
+  * flip-test heatmap averaging (flip_test=True): forward the horizontally
+    flipped crop, flip the heatmaps back, swap left/right channels, shift
+    one pixel right (the SimpleBaselines convention), and average -- the
+    reference trains with flip aug but never flip-tests.
+  * weights can be a reference .pth checkpoint (converted on the fly) or an
+    Orbax checkpoint directory from PoseSolver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_pose_tpu.data.coco import JOINT_PAIRS, load_coco_keypoints, load_detection_boxes
+from simple_pose_tpu.data.pipeline import RGB_MEAN, DetBoxPipeline, PosePipeline
+from simple_pose_tpu.metrics.cocoeval import evaluate_map
+from simple_pose_tpu.models.registry import build_from_cfg
+from simple_pose_tpu.ops.decode import decode_basic, decode_gauss_taylor, instance_scores
+from simple_pose_tpu.ops.oks import oks_nms
+from simple_pose_tpu.ops.warp import affine_crop_separable
+
+__all__ = [
+    "PoseEvaluator",
+    "predicts_by_gt",
+    "predicts_by_detections",
+    "rescore_and_filter",
+    "kps_to_dicts",
+    "load_model_variables",
+]
+
+
+def _flip_perm(num_joints: int):
+    perm = list(range(num_joints))
+    for a, b in JOINT_PAIRS:
+        if a < num_joints and b < num_joints:
+            perm[a], perm[b] = perm[b], perm[a]
+    return tuple(perm)
+
+
+def kps_to_dicts(kps, conf, scores, img_ids, out_list):
+    """COCO result dicts; score = mean(conf) + max(conf)
+    (kps_to_dict_ parity, pose_metrics.py:172-179)."""
+    for kp, cf, sc, img_id in zip(kps, conf, scores, img_ids):
+        out_list.append(
+            {
+                "image_id": int(img_id),
+                "score": float(sc),
+                "category_id": 1,
+                "keypoints": np.concatenate([kp, cf], axis=-1).reshape(-1).tolist(),
+            }
+        )
+
+
+def load_model_variables(model_cfg: dict, weights: Optional[str], crop_shape):
+    """Build the eval model and load weights from a torch .pth (reference
+    layout, ['ema'] key) or an Orbax checkpoint directory (PoseSolver layout,
+    uses ema_params)."""
+    model = build_from_cfg(model_cfg, train=False)
+    x = jnp.zeros((1,) + tuple(crop_shape) + (3,), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    if not weights:
+        return model, variables
+    if weights.endswith((".pth", ".pt")):
+        import torch
+
+        from simple_pose_tpu.convert.torch2flax import convert_torch_state, merge_converted
+
+        raw = torch.load(weights, map_location="cpu", weights_only=False)
+        if isinstance(raw, dict) and "ema" in raw:
+            raw = raw["ema"]
+        family = "hrnet" if model_cfg["type"] == "pose_hrnet" else "resnet"
+        converted, _ = convert_torch_state(raw, family)
+        merged, missing, unexpected = merge_converted(variables, converted)
+        if missing or unexpected:
+            print(f"load: {len(missing)} missing, {len(unexpected)} unexpected")
+        return model, merged
+    # Orbax directory
+    import orbax.checkpoint as ocp
+
+    template = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "ema_params": variables["params"],
+        "ema_batch_stats": variables.get("batch_stats", {}),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(weights), template)
+    return model, {"params": restored["ema_params"], "batch_stats": restored["ema_batch_stats"]}
+
+
+class PoseEvaluator:
+    """Jitted batched crop -> forward -> (flip-test) -> decode."""
+
+    def __init__(self, model_cfg: dict, weights: Optional[str] = None,
+                 input_shape=(192, 256), decoder: str = "gauss_taylor",
+                 flip_test: bool = False):
+        self.crop_shape = (input_shape[1], input_shape[0])
+        self.out_shape = (input_shape[1] // 4, input_shape[0] // 4)
+        self.model, self.variables = load_model_variables(model_cfg, weights, self.crop_shape)
+        self.num_joints = model_cfg.get("num_joints", 17)
+        self.flip_test = flip_test
+        decode = decode_basic if decoder == "basic" else decode_gauss_taylor
+        flip_perm = jnp.asarray(_flip_perm(self.num_joints))
+
+        def step(variables, batch):
+            crops = affine_crop_separable(batch["canvas"], batch["trans"], self.crop_shape)
+            x = crops / 255.0 - RGB_MEAN
+            heat = self.model.apply(variables, x).transpose(0, 3, 1, 2).astype(jnp.float32)
+            if flip_test:
+                xf = x[:, :, ::-1, :]
+                hf = self.model.apply(variables, xf).transpose(0, 3, 1, 2).astype(jnp.float32)
+                hf = hf[:, flip_perm, :, ::-1]
+                # SimpleBaselines convention: shift flipped maps 1px right
+                hf = jnp.concatenate([hf[..., :1], hf[..., :-1]], axis=-1)
+                heat = (heat + hf) * 0.5
+            kps, conf = decode(heat, batch["trans_inv"])
+            return {"kps": kps, "conf": conf, "scores": instance_scores(conf)}
+
+        self._step = jax.jit(step)
+
+    def __call__(self, batch):
+        return self._step(self.variables, batch)
+
+
+def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
+                   input_shape=(192, 256), decoder="gauss_taylor", flip_test=False,
+                   out_path="test_gt_kpt.json", canvas=640, debug=0):
+    """GT-box eval (eval.py:30-66).  Returns the stats dict."""
+    records = load_coco_keypoints(img_root, ann_path, debug=debug)
+    pipe = PosePipeline(records, batch_size, input_shape=input_shape,
+                        output_shape=(input_shape[0] // 4, input_shape[1] // 4),
+                        canvas=canvas, augment=False, shuffle=False, drop_last=False)
+    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test)
+    results = []
+    for batch in pipe.epoch(0):
+        out = ev(batch)
+        kps = np.asarray(out["kps"])
+        conf = np.asarray(out["conf"])
+        scores = np.asarray(out["scores"])
+        keep = batch["valid"] > 0.5
+        kps_to_dicts(kps[keep], conf[keep], scores[keep], batch["img_id"][keep], results)
+    with open(out_path, "w") as wf:
+        json.dump(results, wf)
+    return evaluate_map(out_path, ann_path)
+
+
+def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weights=None,
+                           batch_size=32, input_shape=(192, 256), decoder="gauss_taylor",
+                           flip_test=False, out_path="predicts_kps_temp.json", canvas=640,
+                           in_vis_thre=0.2, oks_thre=0.9, debug=0):
+    """Detector-box eval + OKS-NMS rescoring (eval.py:101-150 + 153-197).
+
+    Returns the stats dict of the rescored/filtered predictions."""
+    records = load_detection_boxes(img_root, det_json_path, debug=debug)
+    pipe = DetBoxPipeline(records, batch_size, input_shape=input_shape,
+                          output_shape=(input_shape[0] // 4, input_shape[1] // 4),
+                          canvas=canvas)
+    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test)
+    predictions = []
+    for batch in pipe.epoch(0):
+        out = ev(batch)
+        kps = np.asarray(out["kps"])
+        conf = np.asarray(out["conf"])
+        for b in range(kps.shape[0]):
+            if batch["valid"][b] < 0.5:
+                continue
+            predictions.append(
+                {
+                    "kps": np.concatenate([kps[b], conf[b]], -1).reshape(-1).tolist(),
+                    "area": float(batch["area"][b]),
+                    "score": float(batch["score"][b]),
+                    "img_id": int(batch["img_id"][b]),
+                }
+            )
+    with open(out_path, "w") as wf:
+        json.dump(predictions, wf)
+    return rescore_and_filter(out_path, gt_ann_path, in_vis_thre, oks_thre)
+
+
+def rescore_and_filter(predictions, gt_ann_path, in_vis_thre=0.2, oks_thre=0.9,
+                       out_path="filter_kps_predicts.json"):
+    """Per-image rescoring + greedy OKS-NMS (temp_read_in_and_filter parity,
+    eval.py:153-197).  ``predictions`` is a path or the list itself."""
+    if isinstance(predictions, str):
+        with open(predictions) as rf:
+            predictions = json.load(rf)
+    by_img = defaultdict(list)
+    for p in predictions:
+        by_img[p["img_id"]].append(p)
+
+    filtered = []
+    for img_id, img_kpts in by_img.items():
+        kpts_list, score_list, area_list = [], [], []
+        for n_p in img_kpts:
+            kpt_item = np.array(n_p["kps"]).reshape(-1, 3)
+            kpt_scores = kpt_item[:, -1]
+            valid = kpt_scores > in_vis_thre
+            kpt_score = kpt_scores[valid].mean() if valid.sum() > 0 else 0.0
+            kpts_list.append(kpt_item)
+            score_list.append(n_p["score"] * kpt_score)
+            area_list.append(n_p["area"])
+        kpts_arr = np.stack(kpts_list, axis=0)
+        scores = np.array(score_list)
+        areas = np.array(area_list)
+        keep = oks_nms(kpts_arr, scores, areas, oks_thre)
+        if len(keep) != 0:
+            kpts_arr = kpts_arr[keep]
+            scores = scores[keep]
+        for kpt, sc in zip(kpts_arr, scores):
+            filtered.append(
+                {
+                    "image_id": int(img_id),
+                    "score": float(sc),
+                    "category_id": 1,
+                    "keypoints": kpt.reshape(-1).tolist(),
+                }
+            )
+    with open(out_path, "w") as wf:
+        json.dump(filtered, wf)
+    return evaluate_map(out_path, gt_ann_path)

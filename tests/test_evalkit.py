@@ -1,0 +1,106 @@
+"""Eval workflows end-to-end on the synthetic mini-COCO set."""
+
+import json
+
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+
+from simple_pose_tpu.evalkit.workflows import (
+    PoseEvaluator,
+    predicts_by_detections,
+    predicts_by_gt,
+    rescore_and_filter,
+)
+from tests.util_synth import make_synth_coco
+
+MODEL_CFG = {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17}
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    return make_synth_coco(str(root), num_images=6)
+
+
+def test_predicts_by_gt_runs(synth, tmp_path):
+    img_root, ann_path, _ = synth
+    stats = predicts_by_gt(
+        img_root, ann_path, MODEL_CFG, weights=None, batch_size=4,
+        input_shape=(64, 64), canvas=192, out_path=str(tmp_path / "gt.json"),
+    )
+    assert "AP" in stats  # random weights -> AP ~ 0, but pipeline completes
+    results = json.load(open(tmp_path / "gt.json"))
+    assert len(results) == 6
+    assert len(results[0]["keypoints"]) == 51
+
+
+def test_predicts_by_detections_and_rescoring(synth, tmp_path):
+    img_root, ann_path, gt = synth
+    # build a fake detection json from the gt boxes (+ one duplicate)
+    dets = []
+    for ann in gt["annotations"]:
+        x, y, w, h = ann["bbox"]
+        dets.append({"image_id": ann["image_id"], "category_id": 1,
+                     "bbox": [x, y, w, h], "score": 0.95})
+    dets.append(dict(dets[0], score=0.5))  # duplicate for NMS to chew on
+    det_path = tmp_path / "dets.json"
+    det_path.write_text(json.dumps(dets))
+    stats = predicts_by_detections(
+        img_root, str(det_path), ann_path, MODEL_CFG, weights=None, batch_size=4,
+        input_shape=(64, 64), canvas=192,
+        out_path=str(tmp_path / "pred.json"),
+    )
+    assert "AP" in stats
+    preds = json.load(open(tmp_path / "pred.json"))
+    assert len(preds) == 7
+    assert {"kps", "area", "score", "img_id"} <= set(preds[0])
+
+
+def test_rescore_and_filter_semantics(tmp_path):
+    rng = np.random.default_rng(0)
+    base = rng.uniform(10, 100, size=(17, 3))
+    base[:, 2] = 0.9
+    dup = base.copy()
+    dup[:, :2] += 0.05
+    far = base.copy()
+    far[:, :2] += 3000
+    preds = [
+        {"kps": base.reshape(-1).tolist(), "area": 900.0, "score": 0.9, "img_id": 1},
+        {"kps": dup.reshape(-1).tolist(), "area": 900.0, "score": 0.8, "img_id": 1},
+        {"kps": far.reshape(-1).tolist(), "area": 900.0, "score": 0.7, "img_id": 1},
+    ]
+    gt = {"images": [{"id": 1, "width": 640, "height": 480}],
+          "annotations": [], "categories": [{"id": 1, "name": "person"}]}
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt))
+    out_path = tmp_path / "filtered.json"
+    rescore_and_filter(preds, str(gt_path), out_path=str(out_path))
+    filtered = json.load(open(out_path))
+    # duplicate suppressed, distinct kept
+    assert len(filtered) == 2
+    # rescoring: box_score * mean(conf > 0.2) = 0.9 * 0.9
+    assert abs(filtered[0]["score"] - 0.9 * 0.9) < 1e-6
+
+
+def test_flip_test_evaluator_consistency(synth):
+    """Flip-test on a left-right symmetric input must produce (nearly) the
+    same peak locations as no-flip; mainly checks the channel permutation
+    and 1px shift wiring doesn't crash or scramble joints."""
+    img_root, ann_path, _ = synth
+    from simple_pose_tpu.data.coco import load_coco_keypoints
+    from simple_pose_tpu.data.pipeline import PosePipeline
+
+    recs = load_coco_keypoints(img_root, ann_path)
+    pipe = PosePipeline(recs, 4, input_shape=(64, 64), output_shape=(16, 16),
+                        canvas=192, augment=False, shuffle=False, drop_last=False)
+    batch = next(iter(pipe.epoch(0)))
+    ev0 = PoseEvaluator(MODEL_CFG, None, (64, 64), flip_test=False)
+    ev1 = PoseEvaluator(MODEL_CFG, None, (64, 64), flip_test=True)
+    # share weights so outputs are comparable
+    ev1.variables = ev0.variables
+    out0 = ev0(batch)
+    out1 = ev1(batch)
+    assert np.asarray(out1["kps"]).shape == np.asarray(out0["kps"]).shape
+    assert np.all(np.isfinite(np.asarray(out1["kps"])))
