@@ -213,3 +213,59 @@ def merge_converted(variables, converted, strict: bool = False):
             node = node.setdefault(part, {})
         node[k[-1]] = v
     return out, missing, unexpected
+
+
+def _merge_digit_components(parts):
+    """['backbones','layer1','0','conv'] -> ['backbones','layer1_0','conv']:
+    torch Sequential indices fold into the parent scope name, matching the
+    detector module naming convention."""
+    out = []
+    for p in parts:
+        if p.isdigit() and out:
+            out[-1] = f"{out[-1]}_{p}"
+        else:
+            out.append(p)
+    return out
+
+
+def convert_torch_state_generic(state_dict):
+    """Rank-based torch->flax conversion for models whose flax scope names
+    mirror the torch module paths (the detector family).
+
+    BatchNorm modules are identified by a sibling running_mean; 4-D weights
+    are conv kernels (OIHW->HWIO); 1-D weight/bias map to scale/bias.
+    Returns (variables, skipped keys)."""
+    clean = {}
+    for k, v in state_dict.items():
+        clean[k[len("module."):] if k.startswith("module.") else k] = v
+    bn_prefixes = {k.rsplit(".", 1)[0] for k in clean if k.endswith("running_mean")}
+    out = {"params": {}, "batch_stats": {}}
+    skipped = []
+    for key, val in clean.items():
+        if "." not in key:
+            skipped.append(key)
+            continue
+        prefix, leaf = key.rsplit(".", 1)
+        if leaf == "num_batches_tracked":
+            continue
+        path = tuple(_merge_digit_components(prefix.split(".")))
+        arr = _to_numpy(val)
+        if prefix in bn_prefixes:
+            if leaf not in _BN_SUFFIX:
+                skipped.append(key)
+                continue
+            coll, name = _BN_SUFFIX[leaf]
+        elif leaf == "weight":
+            coll, name = "params", "kernel"
+            if arr.ndim == 4:
+                arr = np.transpose(arr, (2, 3, 1, 0))
+        elif leaf == "bias":
+            coll, name = "params", "bias"
+        else:
+            skipped.append(key)
+            continue
+        node = out[coll]
+        for part in path:
+            node = node.setdefault(part, {})
+        node[name] = arr
+    return out, skipped

@@ -1,0 +1,173 @@
+"""Detector front-end (the YOLOv5Detector equivalent,
+detector/yolov5_detector.py:129-239).
+
+TPU-first differences from the reference:
+  * The letterbox (ScalePadding) runs on device as a separable-matmul
+    resample from the uint8 canvas, composed as an affine with cv2.resize's
+    half-pixel-center convention; the 114 padding is applied with a static
+    region mask.  Fixed 640x640 output always (the reference's mod-64
+    "minimum rectangle" would make shapes dynamic, which XLA cannot jit; the
+    extra padding is inert except for a few border pixels).
+  * Person-class head slicing happens at weight-conversion time by slicing
+    the head conv kernels/biases to [x, y, w, h, obj, person] -- no MConv2D
+    module surgery (yolov5_detector.py:201-213).
+  * NMS is the jittable fixed-size version (detector/nms.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_pose_tpu.detector.nms import non_max_suppression_jit
+from simple_pose_tpu.detector.yolov5 import YOLOv5
+from simple_pose_tpu.ops.warp import affine_crop_separable
+
+__all__ = ["letterbox_params", "slice_person_head", "YOLOv5Detector"]
+
+
+def letterbox_params(h, w, target=(640, 640), scale_up=True):
+    """Scale/offset of the reference ScalePadding.make_border
+    (yolov5_detector.py:145-166) with minimum_rectangle=False.
+
+    :returns: (r, left, top, new_w, new_h)"""
+    tw, th = target
+    r = min(th / h, tw / w)
+    if not scale_up:
+        r = min(r, 1.0)
+    new_w, new_h = int(round(w * r)), int(round(h * r))
+    dw, dh = (tw - new_w) / 2, (th - new_h) / 2
+    left, top = int(round(dw - 0.1)), int(round(dh - 0.1))
+    return r, left, top, new_w, new_h
+
+
+def _letterbox_trans(r, left, top):
+    """src->dst affine with cv2.resize half-pixel centers:
+    dst = r*(src + 0.5) - 0.5 + offset."""
+    return np.array(
+        [[r, 0.0, r * 0.5 - 0.5 + left], [0.0, r, r * 0.5 - 0.5 + top]], dtype=np.float32
+    )
+
+
+def slice_person_head(variables, num_cls=80, anchor_per_grid=3, slice_idx=0):
+    """Slice the 80-class head convs to person-only [x,y,w,h,obj,cls_i]
+    (weight-conversion-time replacement for MConv2D surgery)."""
+    import copy
+
+    out = copy.deepcopy(variables)
+    num_out = num_cls + 5
+    cols = [0, 1, 2, 3, 4, 5 + slice_idx]
+    head = out["params"]["head"]
+    for name, leaf in head.items():
+        k = leaf["kernel"]  # [1, 1, in, apg*num_out]
+        b = leaf["bias"]
+        kh, kw, cin, _ = k.shape
+        k = k.reshape(kh, kw, cin, anchor_per_grid, num_out)[..., cols].reshape(
+            kh, kw, cin, anchor_per_grid * len(cols)
+        )
+        b = b.reshape(anchor_per_grid, num_out)[:, cols].reshape(-1)
+        leaf["kernel"] = jnp.asarray(k)
+        leaf["bias"] = jnp.asarray(b)
+    return out
+
+
+class YOLOv5Detector:
+    """Person detector for the detect -> crop -> pose pipeline."""
+
+    def __init__(self, weights_path: Optional[str] = None, num_cls: int = 80,
+                 scale_name: str = "l", scale_size: Tuple[int, int] = (640, 640),
+                 iou_thresh: float = 0.6, conf_thresh: float = 0.001,
+                 slice_idx: int = 0, canvas: int = 1280):
+        self.scale_size = scale_size
+        self.iou_thresh = iou_thresh
+        self.conf_thresh = conf_thresh
+        self.canvas = canvas
+        self.num_cls = num_cls if slice_idx < 0 else 1
+        self.model = YOLOv5(num_cls=self.num_cls, scale_name=scale_name)
+
+        x0 = jnp.zeros((1, scale_size[1], scale_size[0], 3), jnp.float32)
+        if weights_path:
+            import torch
+
+            from simple_pose_tpu.convert.torch2flax import convert_torch_state_generic, merge_converted
+
+            raw = torch.load(weights_path, map_location="cpu", weights_only=False)
+            if isinstance(raw, dict) and "ema" in raw:
+                raw = raw["ema"]
+            converted, _ = convert_torch_state_generic(raw)
+            if slice_idx >= 0:
+                converted = slice_person_head(converted, num_cls, slice_idx=slice_idx)
+            variables = self.model.init(jax.random.PRNGKey(0), x0)
+            self.variables, missing, unexpected = (lambda m: (m[0], m[1], m[2]))(
+                merge_converted(variables, converted)
+            )
+            if missing or unexpected:
+                print(f"detector load: {len(missing)} missing, {len(unexpected)} unexpected")
+        else:
+            self.variables = self.model.init(jax.random.PRNGKey(0), x0)
+
+        tw, th = scale_size
+
+        def forward(variables, canvases, trans, region):
+            crops = affine_crop_separable(canvases, trans, (th, tw))
+            xs = jnp.arange(tw, dtype=jnp.float32)[None, None, :]
+            ys = jnp.arange(th, dtype=jnp.float32)[None, :, None]
+            lx, ty_, rx, by = (region[:, i, None, None] for i in range(4))
+            inside = (xs >= lx) & (xs < rx) & (ys >= ty_) & (ys < by)
+            crops = jnp.where(inside[..., None], crops, 114.0)
+            x = crops[..., ::-1] / 255.0  # canvas is BGR like cv.imread; net eats RGB
+            return self.model.apply(variables, x)
+
+        self._forward = jax.jit(forward)
+
+    def predict_batch(self, canvases_u8, shapes, merge=True, max_det=300):
+        """:param canvases_u8: [B, canvas, canvas, 3] uint8 BGR, images pasted
+            at the origin
+        :param shapes: [(h, w)] original sizes
+        :returns: list of [n, 6] numpy arrays (x1, y1, x2, y2, conf, cls) in
+            original pixel coords"""
+        b = canvases_u8.shape[0]
+        trans = np.zeros((b, 2, 3), np.float32)
+        region = np.zeros((b, 4), np.float32)
+        params = []
+        for i, (h, w) in enumerate(shapes):
+            r, left, top, new_w, new_h = letterbox_params(h, w, self.scale_size)
+            trans[i] = _letterbox_trans(r, left, top)
+            region[i] = [left, top, left + new_w, top + new_h]
+            params.append((r, left, top))
+        pred = self._forward(self.variables, jnp.asarray(canvases_u8), jnp.asarray(trans), jnp.asarray(region))
+        dets, valid = non_max_suppression_jit(
+            pred, conf_thresh=self.conf_thresh, iou_thresh=self.iou_thresh,
+            max_det=max_det, multi_label=True, merge=merge,
+        )
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        out = []
+        for i, (h, w) in enumerate(shapes):
+            r, left, top = params[i]
+            d = dets[i][valid[i]].copy()
+            tw, th = self.scale_size
+            d[:, [0, 2]] = np.clip(d[:, [0, 2]], 0, tw)
+            d[:, [1, 3]] = np.clip(d[:, [1, 3]], 0, th)
+            d[:, [0, 2]] = (d[:, [0, 2]] - left) / r
+            d[:, [1, 3]] = (d[:, [1, 3]] - top) / r
+            out.append(d)
+        return out
+
+    def single_predict(self, img_bgr: np.ndarray):
+        """Reference-parity API (yolov5_detector.py:217-239): BGR image in,
+        [n, 6] boxes in original pixel coords out."""
+        h, w = img_bgr.shape[:2]
+        canvas = np.zeros((self.canvas, self.canvas, 3), np.uint8)
+        ch, cw = min(h, self.canvas), min(w, self.canvas)
+        canvas[:ch, :cw] = img_bgr[:ch, :cw]
+        # replicate a 1px border so edge taps clamp like cv2.resize instead
+        # of bleeding into the zero padding
+        if ch < self.canvas:
+            canvas[ch, :cw] = canvas[ch - 1, :cw]
+        if cw < self.canvas:
+            canvas[:ch + 1, cw] = canvas[:ch + 1, cw - 1]
+        return self.predict_batch(canvas[None], [(h, w)])[0]

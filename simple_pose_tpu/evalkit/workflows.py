@@ -238,3 +238,69 @@ def rescore_and_filter(predictions, gt_ann_path, in_vis_thre=0.2, oks_thre=0.9,
     with open(out_path, "w") as wf:
         json.dump(filtered, wf)
     return evaluate_map(out_path, gt_ann_path)
+
+
+def gen_detections(img_root, ann_path, detector=None, out_path="person_detections.json",
+                   batch_size=8, conf_thresh=0.25, iou_thresh=0.5, canvas=1280,
+                   weights_path=None, scale_name="l", debug=0):
+    """Run the person detector over the val images and dump a COCO-format
+    detection json consumable by predicts_by_detections
+    (gen_data_by_detector parity, eval.py:69-98; the output format is the
+    standard COCO detection-results schema instead of the reference's ad-hoc
+    one, so the two workflows chain directly).
+    """
+    import cv2 as cv
+
+    from simple_pose_tpu.detector.wrapper import YOLOv5Detector
+
+    if detector is None:
+        detector = YOLOv5Detector(weights_path=weights_path, scale_name=scale_name,
+                                  conf_thresh=conf_thresh, iou_thresh=iou_thresh, canvas=canvas)
+    with open(ann_path) as rf:
+        images = json.load(rf)["images"]
+    if debug:
+        images = images[:debug]
+    results = []
+    for start in range(0, len(images), batch_size):
+        chunk = images[start:start + batch_size]
+        canvases = np.zeros((len(chunk), canvas, canvas, 3), np.uint8)
+        shapes = []
+        for i, entry in enumerate(chunk):
+            file_name = entry.get("coco_url", entry.get("file_name", "")).split("/")[-1]
+            img = cv.imread(os.path.join(img_root, file_name))
+            h, w = img.shape[:2]
+            ch, cw = min(h, canvas), min(w, canvas)
+            canvases[i, :ch, :cw] = img[:ch, :cw]
+            shapes.append((h, w))
+        if len(chunk) < batch_size:  # keep jit shapes fixed
+            pad = batch_size - len(chunk)
+            canvases = np.concatenate([canvases, np.zeros((pad, canvas, canvas, 3), np.uint8)])
+            shapes += [(canvas, canvas)] * pad
+        boxes_list = detector.predict_batch(canvases, shapes)
+        for entry, boxes in zip(chunk, boxes_list):
+            for x1, y1, x2, y2, score, _cls in boxes:
+                results.append({
+                    "image_id": entry["id"], "category_id": 1,
+                    "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+                    "score": float(score),
+                })
+    with open(out_path, "w") as wf:
+        json.dump(results, wf)
+    return results
+
+
+def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
+                     detector_weights=None, scale_name="l", det_conf=0.25, det_iou=0.5,
+                     batch_size=32, input_shape=(192, 256), flip_test=False,
+                     work_dir=".", debug=0):
+    """End-to-end detect -> crop -> pose -> rescoring AP
+    (README.md:94-106 workflow; BASELINE.json config #5)."""
+    det_path = os.path.join(work_dir, "person_detections.json")
+    gen_detections(img_root, ann_path, out_path=det_path, conf_thresh=det_conf,
+                   iou_thresh=det_iou, weights_path=detector_weights,
+                   scale_name=scale_name, debug=debug)
+    return predicts_by_detections(
+        img_root, det_path, ann_path, pose_model_cfg, weights=pose_weights,
+        batch_size=batch_size, input_shape=input_shape, flip_test=flip_test,
+        out_path=os.path.join(work_dir, "predicts_kps_temp.json"),
+    )

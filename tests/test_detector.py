@@ -1,0 +1,208 @@
+"""Detector: block parity vs torch oracles, NMS oracle, slicing, e2e smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch import nn as tnn
+
+from simple_pose_tpu.convert.torch2flax import convert_torch_state_generic, merge_converted
+from simple_pose_tpu.detector.blocks import CBR, BottleNeckCSP, Focus, SPP, hardswish, mish
+from simple_pose_tpu.detector.nms import box_iou, non_max_suppression_jit, xywh2xyxy
+from simple_pose_tpu.detector.wrapper import YOLOv5Detector, letterbox_params, slice_person_head
+from simple_pose_tpu.detector.yolov5 import YOLOv5
+
+
+def _nchw(x):
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+
+
+def _to_nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+# ----------------------------------------------------------- torch oracles
+class TCBR(tnn.Module):
+    def __init__(self, cin, cout, k=1, s=1):
+        super().__init__()
+        p = (k - 1) // 2
+        self.conv = tnn.Conv2d(cin, cout, k, s, p, bias=False)
+        self.bn = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return tnn.functional.hardswish(self.bn(self.conv(x)))
+
+
+class TBottleNeck(tnn.Module):
+    def __init__(self, c, shortcut=True):
+        super().__init__()
+        self.conv1 = TCBR(c, c, 1)
+        self.conv2 = TCBR(c, c, 3)
+        self.add = shortcut
+
+    def forward(self, x):
+        out = self.conv2(self.conv1(x))
+        return x + out if self.add else out
+
+
+class TBottleNeckCSP(tnn.Module):
+    def __init__(self, cin, cout, blocks=2, shortcut=True):
+        super().__init__()
+        inner = cout // 2
+        self.conv1_0 = TCBR(cin, inner, 1)
+        self.conv2_0 = tnn.Conv2d(cin, inner, 1, bias=False)
+        self.conv1_n = tnn.Conv2d(inner, inner, 1, bias=False)
+        self.conv3 = TCBR(2 * inner, cout, 1)
+        self.bn = tnn.BatchNorm2d(2 * inner)
+        self.conv1_s = tnn.Sequential(*[TBottleNeck(inner, shortcut) for _ in range(blocks)])
+
+    def forward(self, x):
+        y1 = self.conv1_n(self.conv1_s(self.conv1_0(x)))
+        y2 = self.conv2_0(x)
+        y = tnn.functional.hardswish(self.bn(torch.cat([y1, y2], dim=1)))
+        return self.conv3(y)
+
+
+def _randomize_bn(model):
+    for m in model.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.3)
+            m.running_var.uniform_(0.5, 1.5)
+            m.weight.data.normal_(1.0, 0.1)
+            m.bias.data.normal_(0, 0.1)
+
+
+def test_cbr_and_csp_parity_via_generic_converter():
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    t = TBottleNeckCSP(8, 16, blocks=2)
+    _randomize_bn(t)
+    t.eval()
+    f = BottleNeckCSP(16, blocks=2, shortcut=True)
+    x = rng.normal(size=(2, 8, 8, 8)).astype(np.float32)
+    converted, skipped = convert_torch_state_generic(t.state_dict())
+    variables = f.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    merged, missing, unexpected = merge_converted(variables, converted)
+    assert not missing and not unexpected, (missing[:4], unexpected[:4])
+    got = np.asarray(f.apply(merged, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = _to_nhwc(t(_nchw(x)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_focus_phase_order_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
+    xt = _nchw(x)
+    ref = torch.cat(
+        [xt[..., ::2, ::2], xt[..., 1::2, ::2], xt[..., ::2, 1::2], xt[..., 1::2, 1::2]], dim=1
+    )
+    got = jnp.concatenate(
+        [jnp.asarray(x)[:, ::2, ::2, :], jnp.asarray(x)[:, 1::2, ::2, :],
+         jnp.asarray(x)[:, ::2, 1::2, :], jnp.asarray(x)[:, 1::2, 1::2, :]], axis=-1
+    )
+    np.testing.assert_allclose(np.asarray(got), _to_nhwc(ref), atol=0)
+
+
+def test_mish_matches_torch():
+    x = np.linspace(-5, 5, 101).astype(np.float32)
+    ref = torch.nn.functional.mish(torch.from_numpy(x)).numpy()
+    got = np.asarray(mish(jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_yolov5_shapes_and_modes():
+    m = YOLOv5(num_cls=80, scale_name="s")
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    n = (32**2 + 16**2 + 8**2) * 3
+    assert out.shape == (1, n, 85)
+    mt = YOLOv5(num_cls=80, scale_name="s", train=True)
+    raw, anchors = mt.apply(variables, x, mutable=["batch_stats"])[0]
+    assert len(raw) == 3 and raw[0].shape == (1, 3, 32, 32, 85)
+    assert anchors.shape == (3, 3, 2)
+
+
+# ------------------------------------------------------------------- NMS
+def _oracle_nms(boxes, scores, iou_thresh):
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        iou = np.asarray(box_iou(jnp.asarray(boxes[i][None]), jnp.asarray(boxes[rest])))[0]
+        order = rest[iou <= iou_thresh]
+    return keep
+
+
+def test_nms_matches_greedy_oracle():
+    rng = np.random.default_rng(2)
+    n = 40
+    cx = rng.uniform(50, 200, n)
+    cy = rng.uniform(50, 200, n)
+    wh = rng.uniform(20, 60, (n, 2))
+    obj = rng.uniform(0.2, 1.0, n)
+    pred = np.zeros((1, n, 6), np.float32)  # single class
+    pred[0, :, 0] = cx
+    pred[0, :, 1] = cy
+    pred[0, :, 2:4] = wh
+    pred[0, :, 4] = obj
+    pred[0, :, 5] = 1.0  # class prob
+    dets, valid = non_max_suppression_jit(jnp.asarray(pred), conf_thresh=0.1, iou_thresh=0.5,
+                                          max_det=50, pre_nms=64)
+    got = np.asarray(dets[0])[np.asarray(valid[0])]
+    boxes = np.asarray(xywh2xyxy(jnp.asarray(pred[0, :, :4])))
+    keep = _oracle_nms(boxes, obj, 0.5)
+    ref_scores = sorted(obj[keep], reverse=True)
+    np.testing.assert_allclose(sorted(got[:, 4], reverse=True), ref_scores, rtol=1e-5)
+
+
+def test_nms_class_offset_keeps_other_classes():
+    pred = np.zeros((1, 2, 7), np.float32)  # 2 classes
+    for i in range(2):
+        pred[0, i, :4] = [100, 100, 40, 40]  # identical boxes
+        pred[0, i, 4] = 0.9
+        pred[0, i, 5 + i] = 1.0
+    dets, valid = non_max_suppression_jit(jnp.asarray(pred), conf_thresh=0.1, iou_thresh=0.5,
+                                          max_det=10, pre_nms=16)
+    assert int(np.asarray(valid).sum()) == 2  # different classes both survive
+    dets, valid = non_max_suppression_jit(jnp.asarray(pred), conf_thresh=0.1, iou_thresh=0.5,
+                                          max_det=10, pre_nms=16, agnostic=True)
+    assert int(np.asarray(valid).sum()) == 1  # agnostic suppresses
+
+
+def test_letterbox_params_reference_formula():
+    r, left, top, new_w, new_h = letterbox_params(480, 640, (640, 640))
+    assert r == 1.0 and new_w == 640 and new_h == 480
+    assert left == 0 and top == 80
+    r, left, top, new_w, new_h = letterbox_params(1000, 500, (640, 640))
+    assert abs(r - 0.64) < 1e-9 and new_h == 640 and new_w == 320
+
+
+def test_slice_person_head_equivalence():
+    """Person-sliced model must equal the person columns of the full model."""
+    m80 = YOLOv5(num_cls=80, scale_name="s")
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 128, 128, 3)).astype(np.float32))
+    v80 = m80.init(jax.random.PRNGKey(1), x)
+    full = np.asarray(m80.apply(v80, x))  # [1, N, 85]
+    v1 = slice_person_head(jax.tree.map(np.asarray, v80), num_cls=80, slice_idx=0)
+    m1 = YOLOv5(num_cls=1, scale_name="s")
+    sliced = np.asarray(m1.apply(v1, x))  # [1, N, 6]
+    np.testing.assert_allclose(sliced[..., :5], full[..., :5], atol=1e-5)
+    np.testing.assert_allclose(sliced[..., 5], full[..., 5], atol=1e-5)
+
+
+def test_detector_end_to_end_smoke():
+    det = YOLOv5Detector(weights_path=None, scale_name="s", scale_size=(256, 256),
+                         conf_thresh=0.01, canvas=512)
+    img = np.random.default_rng(4).integers(0, 255, size=(300, 400, 3), dtype=np.uint8)
+    boxes = det.single_predict(img)
+    assert boxes.ndim == 2 and boxes.shape[1] == 6
+    if len(boxes):
+        assert boxes[:, 0].min() >= -1e-3 and boxes[:, 2].max() <= 400 + 1e-3
