@@ -1,0 +1,107 @@
+"""Evaluation entry point: the four reference eval.py workflows as a CLI.
+
+    python eval.py gt          --img-root ... --ann ... --model-type pose_resnet_duc --weights ...
+    python eval.py detections  --img-root ... --ann ... --dets COCO_val2017_detections_AP_H_56_person.json ...
+    python eval.py gen-dets    --img-root ... --ann ... --det-weights yolov5l.pth
+    python eval.py rescore     --preds predicts_kps_temp.json --ann ...
+    python eval.py e2e         --img-root ... --ann ... --det-weights ... --weights ...
+"""
+
+import argparse
+import json
+
+
+def _model_cfg(args):
+    return {
+        "type": args.model_type,
+        "name": args.model_name,
+        "num_joints": args.num_joints,
+        "reduction": args.reduction,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description="simple_pose_tpu evaluation")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, model=True):
+        p.add_argument("--img-root", required=True)
+        p.add_argument("--ann", required=True, help="person_keypoints_val2017.json")
+        p.add_argument("--batch-size", type=int, default=32)
+        p.add_argument("--debug", type=int, default=0)
+        if model:
+            p.add_argument("--model-type", default="pose_resnet_dconv")
+            p.add_argument("--model-name", default="resnet50")
+            p.add_argument("--num-joints", type=int, default=17)
+            p.add_argument("--reduction", action="store_true")
+            p.add_argument("--weights", default=None)
+            p.add_argument("--decoder", default="gauss_taylor", choices=["basic", "gauss_taylor"])
+            p.add_argument("--flip-test", action="store_true")
+
+    p = sub.add_parser("gt", help="GT-box eval")
+    common(p)
+    p.add_argument("--out", default="test_gt_kpt.json")
+
+    p = sub.add_parser("detections", help="eval on a detection json + OKS-NMS rescoring")
+    common(p)
+    p.add_argument("--dets", required=True)
+    p.add_argument("--out", default="predicts_kps_temp.json")
+
+    p = sub.add_parser("gen-dets", help="run the YOLOv5 person detector over the val set")
+    common(p, model=False)
+    p.add_argument("--det-weights", default=None)
+    p.add_argument("--scale-name", default="l")
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.5)
+    p.add_argument("--out", default="person_detections.json")
+
+    p = sub.add_parser("rescore", help="OKS-NMS rescoring of raw predictions")
+    p.add_argument("--preds", required=True)
+    p.add_argument("--ann", required=True)
+    p.add_argument("--in-vis-thre", type=float, default=0.2)
+    p.add_argument("--oks-thre", type=float, default=0.9)
+
+    p = sub.add_parser("e2e", help="detect -> crop -> pose end to end")
+    common(p)
+    p.add_argument("--det-weights", default=None)
+    p.add_argument("--scale-name", default="l")
+
+    args = ap.parse_args()
+    from simple_pose_tpu import evalkit
+
+    if args.cmd == "gt":
+        stats = evalkit.predicts_by_gt(
+            args.img_root, args.ann, _model_cfg(args), weights=args.weights,
+            batch_size=args.batch_size, decoder=args.decoder,
+            flip_test=args.flip_test, out_path=args.out, debug=args.debug,
+        )
+    elif args.cmd == "detections":
+        stats = evalkit.predicts_by_detections(
+            args.img_root, args.dets, args.ann, _model_cfg(args), weights=args.weights,
+            batch_size=args.batch_size, decoder=args.decoder,
+            flip_test=args.flip_test, out_path=args.out, debug=args.debug,
+        )
+    elif args.cmd == "gen-dets":
+        from simple_pose_tpu.evalkit.workflows import gen_detections
+
+        gen_detections(args.img_root, args.ann, out_path=args.out,
+                       conf_thresh=args.conf, iou_thresh=args.iou,
+                       weights_path=args.det_weights, scale_name=args.scale_name,
+                       batch_size=args.batch_size, debug=args.debug)
+        print(f"wrote {args.out}")
+        return
+    elif args.cmd == "rescore":
+        stats = evalkit.rescore_and_filter(args.preds, args.ann, args.in_vis_thre, args.oks_thre)
+    elif args.cmd == "e2e":
+        from simple_pose_tpu.evalkit.workflows import detect_then_pose
+
+        stats = detect_then_pose(
+            args.img_root, args.ann, _model_cfg(args), pose_weights=args.weights,
+            detector_weights=args.det_weights, scale_name=args.scale_name,
+            batch_size=args.batch_size, flip_test=args.flip_test, debug=args.debug,
+        )
+    print(json.dumps({k: round(float(v), 4) for k, v in stats.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
