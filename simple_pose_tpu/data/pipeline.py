@@ -148,7 +148,7 @@ class PosePipeline:
                  augment: bool = True, shuffle: bool = True, seed: int = 1024,
                  num_threads: int = 8, prefetch: int = 4,
                  process_index: int = 0, process_count: int = 1,
-                 drop_last: bool = True):
+                 drop_last: bool = True, use_native: Optional[bool] = None):
         self.records = list(records)
         self.batch_size = batch_size
         self.canvas = canvas
@@ -162,6 +162,16 @@ class PosePipeline:
         self.drop_last = drop_last
         self.transform = _SampleTransform(input_shape=input_shape, output_shape=output_shape)
         self.num_joints = self.records[0].joints.shape[0] if self.records else 17
+        # native batch JPEG decoder (C++ thread pool); None = auto-detect.
+        # Only .jpg/.jpeg go native; anything else falls back to cv2.
+        self._native = None
+        if use_native is not False:
+            from simple_pose_tpu.data import native as _native_mod
+
+            if _native_mod.native_available():
+                self._native = _native_mod.NativeCanvasLoader(num_threads)
+            elif use_native:
+                raise RuntimeError("native loader requested but unavailable")
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         n = len(self.records)
@@ -174,13 +184,16 @@ class PosePipeline:
         n = len(self._epoch_order(0))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _geometry(self, rec: PoseRecord, rng: np.random.Generator):
+        return self.transform(rec, rng, self.augment)
+
     def _load_sample(self, rec: PoseRecord, rng: np.random.Generator):
         img = _imread_rgb(rec.img_path)
         h, w = img.shape[:2]
         canvas = np.zeros((self.canvas, self.canvas, 3), dtype=np.uint8)
         ch, cw = min(h, self.canvas), min(w, self.canvas)
         canvas[:ch, :cw] = img[:ch, :cw]
-        trans, joints_out, trans_inv = self.transform(rec, rng, self.augment)
+        trans, joints_out, trans_inv = self._geometry(rec, rng)
         return canvas, trans, joints_out, trans_inv
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
@@ -193,20 +206,25 @@ class PosePipeline:
             real = len(idxs)
             if real < bs:  # pad to fixed shape; mask via 'valid'
                 idxs = np.concatenate([idxs, np.repeat(idxs[-1:], bs - real)])
-            canvases = np.zeros((bs, self.canvas, self.canvas, 3), dtype=np.uint8)
+            recs = [self.records[r] for r in idxs]
             trans = np.zeros((bs, 2, 3), dtype=np.float32)
             joints = np.zeros((bs, self.num_joints, 3), dtype=np.float32)
             trans_inv = np.zeros((bs, 2, 3), dtype=np.float32)
             img_ids = np.zeros((bs,), dtype=np.int64)
             valid = np.zeros((bs,), dtype=np.float32)
-            for k, ridx in enumerate(idxs):
-                rec = self.records[ridx]
+            native_ok = self._native is not None and all(
+                r.img_path.lower().endswith((".jpg", ".jpeg")) for r in recs
+            )
+            if native_ok:
+                canvases, _, _ = self._native.load_batch([r.img_path for r in recs], self.canvas)
+            else:
+                canvases = np.zeros((bs, self.canvas, self.canvas, 3), dtype=np.uint8)
+            for k, (ridx, rec) in enumerate(zip(idxs, recs)):
                 rng = np.random.default_rng((self.seed, epoch, int(ridx)))
-                c, t, j, ti = self._load_sample(rec, rng)
-                canvases[k] = c
-                trans[k] = t
-                joints[k] = j
-                trans_inv[k] = ti
+                if native_ok:
+                    trans[k], joints[k], trans_inv[k] = self._geometry(rec, rng)
+                else:
+                    canvases[k], trans[k], joints[k], trans_inv[k] = self._load_sample(rec, rng)
                 img_ids[k] = rec.img_id
                 valid[k] = 1.0 if k < real else 0.0
             return {
@@ -232,18 +250,13 @@ class DetBoxPipeline(PosePipeline):
         super().__init__(pose_records, batch_size, **kw)
         self.det_records = list(records)
 
-    def _load_sample(self, rec: PoseRecord, rng):
-        img = _imread_rgb(rec.img_path)
-        h, w = img.shape[:2]
-        canvas = np.zeros((self.canvas, self.canvas, 3), dtype=np.uint8)
-        ch, cw = min(h, self.canvas), min(w, self.canvas)
-        canvas[:ch, :cw] = img[:ch, :cw]
+    def _geometry(self, rec: PoseRecord, rng):
         x1, y1, x2, y2 = rec.box
         center, scale = A.box_to_center_scale(x1, y1, x2 - x1, y2 - y1, self.transform.w_h_ratio)
         trans, _ = A.get_affine_transform(center, scale, 0, self.transform.input_shape)
         _, trans_inv = A.get_affine_transform(center, scale, 0, self.transform.output_shape)
         joints = np.zeros((self.num_joints, 3), dtype=np.float32)
-        return canvas, trans.astype(np.float32), joints, np.asarray(trans_inv, np.float32)
+        return trans.astype(np.float32), joints, np.asarray(trans_inv, np.float32)
 
     def epoch(self, epoch: int = 0):
         for bi, batch in enumerate(super().epoch(epoch)):
