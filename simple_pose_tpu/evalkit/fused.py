@@ -1,0 +1,110 @@
+"""Fused detect -> crop -> pose: ONE jitted device program.
+
+The reference chains two separate processes through json files (eval.py:
+69-98 then 101-150).  Here the whole path runs as a single XLA program per
+image batch (BASELINE.json config #5): device letterbox -> YOLOv5 forward ->
+fixed-size NMS (top max_people person boxes) -> batched box->affine geometry
+(ops/affine_jax.py) -> multi-crop separable resample (P crops per image
+without replicating canvases) -> pose forward -> GaussTaylor decode -> kps in
+original image coords.  Ragged person counts are handled with fixed-size
+padding + validity masks throughout (NMS validity x detector score).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simple_pose_tpu.data.pipeline import RGB_MEAN
+from simple_pose_tpu.detector.nms import non_max_suppression_jit
+from simple_pose_tpu.detector.wrapper import YOLOv5Detector, letterbox_params, _letterbox_trans
+from simple_pose_tpu.evalkit.workflows import load_model_variables
+from simple_pose_tpu.ops.affine_jax import affine_crop_separable_multi, boxes_to_crop_affines
+from simple_pose_tpu.ops.decode import decode_gauss_taylor, decode_basic, instance_scores
+from simple_pose_tpu.ops.warp import affine_crop_separable
+
+__all__ = ["FusedDetectPose"]
+
+
+class FusedDetectPose:
+    """End-to-end person detection + pose estimation as one device program."""
+
+    def __init__(self, pose_model_cfg: dict, pose_weights: Optional[str] = None,
+                 detector_weights: Optional[str] = None, scale_name: str = "l",
+                 det_size=(640, 640), input_shape=(192, 256), max_people: int = 16,
+                 det_conf: float = 0.25, det_iou: float = 0.5, decoder: str = "gauss_taylor",
+                 canvas: int = 1280):
+        self.canvas = canvas
+        self.det_size = det_size
+        self.max_people = max_people
+        self.detector = YOLOv5Detector(
+            weights_path=detector_weights, scale_name=scale_name, scale_size=det_size,
+            conf_thresh=det_conf, iou_thresh=det_iou, canvas=canvas,
+        )
+        crop_shape = (input_shape[1], input_shape[0])
+        self.pose_model, self.pose_vars = load_model_variables(pose_model_cfg, pose_weights, crop_shape)
+        decode = decode_basic if decoder == "basic" else decode_gauss_taylor
+        tw, th = det_size
+
+        def program(det_vars, pose_vars, canvases, lb_trans, lb_region, lb_inv_scale, lb_offset):
+            # ---- detect (device letterbox + YOLOv5 + NMS)
+            lb = affine_crop_separable(canvases, lb_trans, (th, tw))
+            xs = jnp.arange(tw, dtype=jnp.float32)[None, None, :]
+            ys = jnp.arange(th, dtype=jnp.float32)[None, :, None]
+            inside = (
+                (xs >= lb_region[:, 0, None, None]) & (xs < lb_region[:, 2, None, None])
+                & (ys >= lb_region[:, 1, None, None]) & (ys < lb_region[:, 3, None, None])
+            )
+            lb = jnp.where(inside[..., None], lb, 114.0)
+            pred = self.detector.model.apply(det_vars, lb[..., ::-1] / 255.0)
+            dets, valid = non_max_suppression_jit(
+                pred, conf_thresh=det_conf, iou_thresh=det_iou,
+                max_det=max_people, multi_label=True, merge=True,
+            )
+            # ---- boxes back to source-canvas coords
+            boxes = dets[..., :4]
+            boxes = jnp.clip(boxes, 0.0, jnp.asarray([tw, th, tw, th], jnp.float32))
+            boxes = (boxes - jnp.tile(lb_offset, 2)[:, None, :]) * lb_inv_scale[:, None, None]
+            det_scores = dets[..., 4]
+            # ---- crop geometry + P crops per image
+            trans, trans_inv = boxes_to_crop_affines(boxes, input_shape,
+                                                     (input_shape[0] // 4, input_shape[1] // 4))
+            crops = affine_crop_separable_multi(canvases, trans, crop_shape)  # [B,P,h,w,C]
+            b = crops.shape[0]
+            # canvases are BGR (cv.imread); the pose net eats RGB, mean-subtracted
+            x = crops.reshape((b * max_people,) + crop_shape + (3,))[..., ::-1] / 255.0 - RGB_MEAN
+            heat = self.pose_model.apply(pose_vars, x).transpose(0, 3, 1, 2).astype(jnp.float32)
+            kps, conf = decode(heat, trans_inv.reshape(b * max_people, 2, 3))
+            scores = instance_scores(conf)
+            pp = lambda a: a.reshape((b, max_people) + a.shape[1:])
+            return {
+                "boxes": boxes, "det_scores": det_scores, "det_valid": valid,
+                "kps": pp(kps), "kp_conf": pp(conf), "pose_scores": pp(scores),
+            }
+
+        self._program = jax.jit(program)
+
+    def __call__(self, canvases_u8, shapes):
+        """:param canvases_u8: [B, canvas, canvas, 3] uint8 BGR at origin
+        :param shapes: [(h, w)] true image sizes
+        :returns: dict of numpy arrays; entries masked by det_valid"""
+        b = canvases_u8.shape[0]
+        lb_trans = np.zeros((b, 2, 3), np.float32)
+        lb_region = np.zeros((b, 4), np.float32)
+        lb_inv_scale = np.zeros((b,), np.float32)
+        lb_offset = np.zeros((b, 2), np.float32)
+        for i, (h, w) in enumerate(shapes):
+            r, left, top, new_w, new_h = letterbox_params(h, w, self.det_size)
+            lb_trans[i] = _letterbox_trans(r, left, top)
+            lb_region[i] = [left, top, left + new_w, top + new_h]
+            lb_inv_scale[i] = 1.0 / r
+            lb_offset[i] = [left, top]
+        out = self._program(
+            self.detector.variables, self.pose_vars, jnp.asarray(canvases_u8),
+            jnp.asarray(lb_trans), jnp.asarray(lb_region),
+            jnp.asarray(lb_inv_scale), jnp.asarray(lb_offset),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}

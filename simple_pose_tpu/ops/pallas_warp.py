@@ -1,0 +1,140 @@
+"""Pallas TPU kernel for the rotation stage of the affine crop.
+
+The XLA formulation of stage 2 (ops/warp.py affine_crop_mxu) materializes the
+one-hot interpolation matrices and the [band, q] partial product in HBM --
+tens of GB of traffic per 128-crop batch.  This kernel fuses the whole stage
+in VMEM: per (sample, output-row-block) grid step it
+
+  1. reads the sample's intermediate patch [inter, inter, C] (kept resident
+     across the inner row-block grid dimension -- the index map only changes
+     with the sample index, so Mosaic skips redundant copies),
+  2. computes the block's u = R x + u0 coordinates from SMEM scalars,
+  3. builds the x-tap one-hot V^T [inter, q] and the y-tap one-hot
+     U^T [band, q] with broadcasted-iota compares (VPU),
+  4. slices a [band, inter] row band out of the patch (dynamic, per block)
+     and contracts P_c = I_band_c @ V^T on the MXU,
+  5. reduces out_c[q] = sum_h U^T * P_c on the VPU and writes the
+     [row_block, ow, C] output block.
+
+Banding exploits |R10| <= sin(max_rot): a row_block-tall output block only
+touches sin(max_rot)*ow + row_block + ~4 source rows (training augmentation
+is +-40 deg).  All taps are in-bounds by construction of u0 (ops/warp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from simple_pose_tpu.ops.warp import decompose_affine, stage1_resample
+
+__all__ = ["affine_crop_pallas", "rotate_resample_pallas"]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, ow, channels):
+    """scalars_ref: [B, 8] scalar-prefetch (r00, r01, r10, r11, u0x, u0y, _, _)
+    inter_ref: [1, C, inter, inter] VMEM (one sample's patch, channel-major:
+        C must NOT be the lane dim or tiling pads 3 channels to 128 lanes)
+    out_ref: [1, 1, C, q] VMEM
+    """
+    bi = pl.program_id(0)
+    blk = pl.program_id(1)
+    r00 = scalars_ref[bi, 0]
+    r01 = scalars_ref[bi, 1]
+    r10 = scalars_ref[bi, 2]
+    r11 = scalars_ref[bi, 3]
+    u0x = scalars_ref[bi, 4]
+    u0y = scalars_ref[bi, 5]
+
+    q = row_block * ow
+    y0 = (blk * row_block).astype(jnp.float32)
+    # block pixel grid directly in flat [1, q] lane layout (Mosaic cannot
+    # reshape across lanes): row = qi // ow, col = qi % ow
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, q), 1)
+    rows = (qi // ow).astype(jnp.float32) + y0
+    cols = (qi % ow).astype(jnp.float32)
+    ux = r00 * cols + r01 * rows + u0x  # [1, q]
+    uy = r10 * cols + r11 * rows + u0y
+
+    # dynamic band start (relative y taps); in-bounds by u0 construction.
+    # Rounded down to a sublane multiple (8) for the aligned VMEM slice.
+    band_start = jnp.clip(jnp.floor(jnp.min(uy)) - 1.0, 0.0, float(inter - band)).astype(jnp.int32)
+    band_start = pl.multiple_of((band_start // 8) * 8, 8)
+
+    # bilinear weights as hat functions: weight(s) = max(0, 1 - |s - u|)
+    # (exactly the 2-tap one-hot rows, built in one VPU op chain)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (inter, q), 0).astype(jnp.float32)
+    v_t = jnp.maximum(0.0, 1.0 - jnp.abs(w_iota - ux)).astype(jnp.bfloat16)
+
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (band, q), 0).astype(jnp.float32) + band_start.astype(jnp.float32)
+    u_t = jnp.maximum(0.0, 1.0 - jnp.abs(h_iota - uy))
+
+    for ci in range(channels):
+        i_band = inter_ref[0, ci, pl.ds(band_start, band), :]  # [band, inter] bf16
+        p_c = jnp.dot(i_band, v_t, preferred_element_type=jnp.float32)  # [band, q]
+        out_c = jnp.sum(u_t * p_c, axis=0, keepdims=True)  # [1, q]
+        out_ref[0, 0, ci, :] = out_c[0]
+
+
+def rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block=8):
+    """Stage-2 rotation resample: [B, C, inter, inter] -> [B, oh, ow, C]."""
+    b, c, inter, _ = inter_img.shape
+    oh, ow = out_hw
+    assert oh % row_block == 0
+    scalars = jnp.concatenate(
+        [r_mat.reshape(b, 4), u0, jnp.zeros((b, 2), jnp.float32)], axis=-1
+    )  # [B, 8]
+    n_blocks = oh // row_block
+    q = row_block * ow
+    kernel = functools.partial(
+        _stage2_kernel, inter=inter, band=band, row_block=row_block, ow=ow, channels=c
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, c, inter, inter), lambda i, j, s: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, c, q), lambda i, j, s: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks, c, q), jnp.float32),
+    )(scalars, inter_img)
+    # [B, n_blocks, C, row_block*ow] -> [B, oh, ow, C]
+    out = out.reshape(b, n_blocks, c, row_block, ow)
+    return out.transpose(0, 1, 3, 4, 2).reshape(b, oh, ow, c)
+
+
+def affine_crop_pallas(images, trans, out_hw, inter: int = 328, row_block: int = 8,
+                       max_rot_deg: float = 41.0):
+    """Two-stage batched affine crop with the Pallas stage-2 kernel.
+
+    Same semantics as affine_crop_mxu (training-augmentation warp); requires
+    the affine's rotation component to stay within +-max_rot_deg (the
+    reference augments within +-40, commons/transforms.py:205).
+    """
+    b, h, w, c = images.shape
+    oh, ow = out_hw
+    assert (oh**2 + ow**2) ** 0.5 <= inter - 4
+    d0, d1, r_mat, u0, t1x, t1y = decompose_affine(trans, out_hw, inter)
+    inter_img = stage1_resample(images, d0, d1, t1x, t1y, inter)
+    inter_img = inter_img.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # channel-major bf16
+    sin_max = min(1.0, abs(math.sin(math.radians(min(max_rot_deg, 90.0)))) + 1e-3)
+    # +8 covers the sublane round-down of the dynamic band start
+    band = min(inter, _round_up(int(np.ceil(sin_max * ow)) + row_block + 6 + 8, 8))
+    return rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block)

@@ -184,6 +184,40 @@ def _onehot_lerp(pos, size, dtype):
     return m.astype(dtype)
 
 
+def decompose_affine(trans, out_hw, inter):
+    """inv = [A|t], A = D R split used by the two-stage MXU/Pallas warps.
+
+    :returns: (d0, d1, r_mat [B,2,2], u0 [B,2] integer-valued, t1x, t1y)"""
+    ow = out_hw[1]
+    oh = out_hw[0]
+    inv = invert_affine_batch(jnp.asarray(trans, dtype=jnp.float32))
+    a_mat = inv[:, :, :2]
+    t_vec = inv[:, :, 2]
+    d0 = jnp.linalg.norm(a_mat[:, 0, :], axis=-1) + 1e-12
+    d1 = jnp.linalg.norm(a_mat[:, 1, :], axis=-1) + 1e-12
+    r_mat = a_mat / jnp.stack([d0, d1], axis=-1)[..., None]
+    corners = jnp.asarray(
+        [[0.0, 0.0], [ow - 1.0, 0.0], [0.0, oh - 1.0], [ow - 1.0, oh - 1.0]], dtype=jnp.float32
+    )
+    u_corners = jnp.einsum("bij,kj->bki", r_mat, corners)
+    u0 = jnp.ceil(-jnp.min(u_corners, axis=1)) + 1.0
+    t1x = t_vec[:, 0] - d0 * u0[:, 0]
+    t1y = t_vec[:, 1] - d1 * u0[:, 1]
+    return d0, d1, r_mat, u0, t1x, t1y
+
+
+def stage1_resample(images, d0, d1, t1x, t1y, inter, compute_dtype=jnp.bfloat16):
+    """Separable axis-aligned resample canvas -> [B, inter, inter, C] f32."""
+    b, h, w, c = images.shape
+    ry = _interp_matrix(t1y, d1, inter, h).astype(compute_dtype)
+    cx = _interp_matrix(t1x, d0, inter, w).astype(compute_dtype)
+    img = images.astype(compute_dtype)
+    tmp = jnp.einsum("boh,bhwc->bowc", ry, img, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "bxw,bowc->boxc", cx, tmp.astype(compute_dtype), preferred_element_type=jnp.float32
+    )
+
+
 def affine_crop_mxu(images, trans, out_hw, inter: int = 328, row_block: int = 16,
                     compute_dtype=jnp.bfloat16):
     """General batched bilinear affine crop on the MXU (no gathers).
@@ -201,34 +235,8 @@ def affine_crop_mxu(images, trans, out_hw, inter: int = 328, row_block: int = 16
     oh, ow = out_hw
     assert (oh**2 + ow**2) ** 0.5 <= inter - 4, "intermediate too small for this crop size"
     assert oh % row_block == 0, "row_block must divide out_h"
-    inv = invert_affine_batch(jnp.asarray(trans, dtype=jnp.float32))
-    a_mat = inv[:, :, :2]  # [B, 2, 2]
-    t_vec = inv[:, :, 2]  # [B, 2]
-
-    # A = D @ R, D = diag(||row0||, ||row1||); R rows are unit vectors.
-    d0 = jnp.linalg.norm(a_mat[:, 0, :], axis=-1) + 1e-12
-    d1 = jnp.linalg.norm(a_mat[:, 1, :], axis=-1) + 1e-12
-    r_mat = a_mat / jnp.stack([d0, d1], axis=-1)[..., None]  # [B, 2, 2]
-
-    # u0: integer offset placing u = R x + u0 inside [0, inter)
-    corners = jnp.asarray(
-        [[0.0, 0.0], [ow - 1.0, 0.0], [0.0, oh - 1.0], [ow - 1.0, oh - 1.0]], dtype=jnp.float32
-    )  # (x, y) pairs
-    u_corners = jnp.einsum("bij,kj->bki", r_mat, corners)  # [B, 4, 2]
-    u0 = jnp.ceil(-jnp.min(u_corners, axis=1)) + 1.0  # [B, 2] integer-valued
-
-    # ---- stage 1: separable resample canvas -> intermediate [B, inter, inter, C]
-    # src = D u + (t - D u0)
-    t1x = t_vec[:, 0] - d0 * u0[:, 0]
-    t1y = t_vec[:, 1] - d1 * u0[:, 1]
-    ry = _interp_matrix(t1y, d1, inter, h).astype(compute_dtype)  # [B, inter, H]
-    cx = _interp_matrix(t1x, d0, inter, w).astype(compute_dtype)  # [B, inter, W]
-    img = images.astype(compute_dtype)
-    tmp = jnp.einsum("boh,bhwc->bowc", ry, img, preferred_element_type=jnp.float32)
-    inter_img = jnp.einsum(
-        "bxw,bowc->boxc", cx, tmp.astype(compute_dtype), preferred_element_type=jnp.float32
-    )  # [B, inter, inter, C]
-    inter_c = inter_img.astype(compute_dtype)
+    d0, d1, r_mat, u0, t1x, t1y = decompose_affine(trans, out_hw, inter)
+    inter_c = stage1_resample(images, d0, d1, t1x, t1y, inter, compute_dtype).astype(compute_dtype)
 
     # ---- stage 2: rotation resample via one-hot matmuls, scanned over row blocks
     xs = jnp.arange(ow, dtype=jnp.float32)

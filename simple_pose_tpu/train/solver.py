@@ -62,13 +62,20 @@ def _normalize(crops):
 
 
 def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), amp=False,
-                    crop_impl="mxu"):
+                    crop_impl="auto"):
     """Build the jitted SPMD train step: (state, batch) -> (state, metrics).
 
-    crop_impl: 'mxu' (one-hot matmul warp, ~5x faster on TPU) or 'gather'
-    (exact-parity reference path)."""
-    if crop_impl == "mxu":
-        inter = int(np.ceil(np.hypot(*crop_shape))) + 8
+    crop_impl: 'pallas' (fused VMEM kernel, fastest on TPU), 'mxu' (XLA
+    one-hot matmul warp), 'gather' (exact-parity reference path), or 'auto'
+    (pallas on TPU, mxu elsewhere)."""
+    if crop_impl == "auto":
+        crop_impl = "pallas" if jax.default_backend() == "tpu" else "mxu"
+    inter = int(np.ceil(np.hypot(*crop_shape))) + 8
+    if crop_impl == "pallas":
+        from simple_pose_tpu.ops.pallas_warp import affine_crop_pallas
+
+        crop_fn = lambda c, t: affine_crop_pallas(c, t, crop_shape, inter=inter)
+    elif crop_impl == "mxu":
         crop_fn = lambda c, t: affine_crop_mxu(c, t, crop_shape, inter=inter)
     else:
         crop_fn = lambda c, t: affine_crop(c, t, crop_shape)

@@ -1,0 +1,55 @@
+"""Pallas stage-2 warp kernel vs the XLA one-hot path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from simple_pose_tpu.ops import affine as A
+from simple_pose_tpu.ops.warp import affine_crop_mxu
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    import simple_pose_tpu.ops.pallas_warp as PW
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(PW.pl, "pallas_call", lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    return PW
+
+
+def _mk_trans(rng, rot):
+    c = rng.uniform(150, 450, 2)
+    w_ = rng.uniform(60, 300)
+    s = np.array([w_, w_ * 256 / 192]) * 1.25
+    t, _ = A.get_affine_transform(c, s, rot, (192, 256))
+    return t.astype(np.float32)
+
+
+def test_pallas_matches_xla_mxu(interpret_pallas):
+    rng = np.random.default_rng(0)
+    imgs = np.stack(
+        [np.clip(np.kron(rng.uniform(0, 255, (40, 40, 3)), np.ones((8, 8, 1))), 0, 255).astype(np.uint8)
+         for _ in range(2)]
+    )
+    tr = np.stack([_mk_trans(rng, rng.uniform(-40, 40)) for _ in range(2)])
+    xla = np.asarray(affine_crop_mxu(jnp.asarray(imgs), jnp.asarray(tr), (256, 192)))
+    pls = np.asarray(
+        interpret_pallas.affine_crop_pallas(jnp.asarray(imgs), jnp.asarray(tr), (256, 192))
+    )
+    # identical math modulo bf16 summation order
+    assert np.abs(pls - xla).mean() < 0.2
+    assert np.abs(pls - xla).max() < 3.0
+
+
+def test_pallas_axis_aligned(interpret_pallas):
+    rng = np.random.default_rng(1)
+    imgs = np.stack([rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)])
+    tr = np.stack([_mk_trans(rng, 0.0)])
+    xla = np.asarray(affine_crop_mxu(jnp.asarray(imgs), jnp.asarray(tr), (256, 192)))
+    pls = np.asarray(
+        interpret_pallas.affine_crop_pallas(jnp.asarray(imgs), jnp.asarray(tr), (256, 192))
+    )
+    assert np.abs(pls - xla).max() < 3.0
