@@ -17,3 +17,16 @@ Architecture stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even on platform plugins that override it after env
+# parsing (observed with tunneled TPU runtimes): re-assert the user's choice
+# through jax.config before any backend initializes.
+import os as _os
+
+if "JAX_PLATFORMS" in _os.environ:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # already initialized or unknown platform: leave as-is
+        pass
