@@ -14,7 +14,7 @@ through the generic converter.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -23,11 +23,9 @@ import numpy as np
 from simple_pose_tpu.detector.blocks import (
     CBR,
     SPP,
-    BottleNeck,
     BottleNeckCSP,
     Focus,
     depth_grow,
-    hardswish,
     model_scale,
     width_grow,
 )

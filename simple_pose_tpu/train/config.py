@@ -10,7 +10,7 @@ data / model / optim / val sections plus model_name.  The reference's
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import yaml
 

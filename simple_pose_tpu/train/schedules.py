@@ -16,8 +16,6 @@ live inside the jitted update (pure functions of the step).
 
 from __future__ import annotations
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 

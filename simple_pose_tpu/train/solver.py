@@ -22,7 +22,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from functools import partial
 from typing import Any, Optional
 
 import jax
@@ -39,7 +38,7 @@ from simple_pose_tpu.models.registry import build_from_cfg
 from simple_pose_tpu.ops.decode import decode_basic, decode_gauss_taylor, instance_scores
 from simple_pose_tpu.ops.heatmap import encode_unbiased
 from simple_pose_tpu.ops.warp import affine_crop, affine_crop_mxu, affine_crop_separable
-from simple_pose_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from simple_pose_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from simple_pose_tpu.train import schedules as S
 from simple_pose_tpu.train.config import TrainConfig, load_config
 from simple_pose_tpu.train.ema import ema_update
