@@ -19,7 +19,20 @@ import numpy as np
 BASELINE_CROPS_PER_SEC_PER_CHIP = 89.0
 
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated bench/entry runs skip the
+    (minutes-long over tunneled TPU runtimes) recompilation."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/simple_pose_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import optax
