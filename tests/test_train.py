@@ -87,3 +87,45 @@ def test_amp_bf16_step(solver_env):
     assert np.isfinite(m["loss"])
     # params stay f32 master copies
     assert jax.tree.leaves(solver.state.params)[0].dtype == np.float32
+
+
+def test_sgd_weight_decay_and_warmup_schedule(solver_env):
+    img_root, ann_path, root = solver_env
+    cfg = _cfg(img_root, ann_path, root,
+               optimizer="sgd", momentum=0.9, weight_decay=1e-4,
+               schedule="warmup_cosine_multistep", warm_up_epoch=1)
+    solver = PoseSolver(cfg)
+    solver.init_state()
+    m = solver.train_epoch(0, log_every=0)
+    assert np.isfinite(m["loss"])
+
+
+def test_gather_crop_impl_matches_reference_path(solver_env):
+    """The exact-parity gather crop stays wired through the solver."""
+    from simple_pose_tpu.train.solver import make_train_step
+    import optax
+    from simple_pose_tpu.train.schedules import multistep_schedule
+    from simple_pose_tpu.models import build_model
+    import jax.numpy as jnp
+    from simple_pose_tpu.train.solver import TrainState
+
+    model = build_model("pose_resnet_dconv", "resnet18", train=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    tx = optax.adam(multistep_schedule(1e-3, [10], 0.1, 10))
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        ema_params=variables["params"], ema_batch_stats=variables["batch_stats"],
+        step=jnp.zeros((), jnp.int32),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "canvas": rng.integers(0, 255, (8, 96, 96, 3), dtype=np.uint8),
+        "trans": np.tile(np.array([[0.6, 0.1, 4], [-0.1, 0.6, 4]], np.float32), (8, 1, 1)),
+        "joints": np.concatenate(
+            [rng.uniform(2, 14, (8, 17, 2)).astype(np.float32), np.ones((8, 17, 1), np.float32)], -1),
+        "trans_inv": np.tile(np.array([[2.0, 0, 0], [0, 2.0, 0]], np.float32), (8, 1, 1)),
+    }
+    step = jax.jit(make_train_step(model, tx, (16, 16), (64, 64), crop_impl="gather"))
+    _, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
