@@ -1,0 +1,72 @@
+"""Secondary benchmark: eval-path throughput (crop -> forward -> GaussTaylor
+decode), the AP-producing inference pipeline.
+
+    python scripts/bench_eval.py [--model-type pose_hrnet --model-name w32]
+
+Prints one JSON line per configuration.  (The driver-run benchmark is
+bench.py at the repo root; this script is for perf work.)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-type", default="pose_resnet_dconv")
+    ap.add_argument("--model-name", default="resnet50")
+    ap.add_argument("--reduction", action="store_true")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--flip-test", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/simple_pose_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    on_tpu = jax.default_backend() == "tpu"
+    b = args.batch if on_tpu else 4
+    canvas = 640 if on_tpu else 128
+    input_shape = (192, 256) if on_tpu else (64, 64)
+
+    ev = PoseEvaluator(
+        {"type": args.model_type, "name": args.model_name, "num_joints": 17,
+         "reduction": args.reduction},
+        None, input_shape, flip_test=args.flip_test,
+    )
+    rng = np.random.default_rng(0)
+    s = canvas / max(input_shape)
+    batch = {
+        "canvas": rng.integers(0, 255, (b, canvas, canvas, 3), dtype=np.uint8),
+        "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (b, 1, 1)),
+        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (b, 1, 1)),
+    }
+    out = ev(batch)
+    float(jnp.sum(out["kps"]))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = ev(batch)
+    float(jnp.sum(out["kps"]))
+    dt = time.perf_counter() - t0
+    per_chip = b * args.iters / dt / max(1, len(jax.devices()))
+    print(json.dumps({
+        "metric": f"eval_crops_per_sec_per_chip_{args.model_type}_{args.model_name}"
+                  + ("_fliptest" if args.flip_test else ""),
+        "value": round(per_chip, 1),
+        "unit": "crops/s/chip",
+    }))
+
+
+if __name__ == "__main__":
+    main()

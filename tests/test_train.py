@@ -129,3 +129,19 @@ def test_gather_crop_impl_matches_reference_path(solver_env):
     step = jax.jit(make_train_step(model, tx, (16, 16), (64, 64), crop_impl="gather"))
     _, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_run_loop_with_resume(solver_env, tmp_path):
+    """Full run(): 2 epochs with val + ckpt, then resume skips done epochs."""
+    img_root, ann_path, root = solver_env
+    cfg = _cfg(img_root, ann_path, root)
+    cfg.optim.epochs = 1
+    cfg.val.weight_path = str(tmp_path / "w")
+    solver = PoseSolver(cfg)
+    solver.run()
+    assert int(solver.state.step) == solver.train_pipe.batches_per_epoch()
+
+    solver2 = PoseSolver(cfg)
+    solver2.init_state()
+    start = solver2.restore_checkpoint()
+    assert start == 1  # epoch 0 done; resume would start at 1 (== epochs, so no-op)
