@@ -181,8 +181,13 @@ class PosePipeline:
         return order[self.process_index::self.process_count]
 
     def batches_per_epoch(self) -> int:
-        n = len(self._epoch_order(0))
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        if self.drop_last:
+            return len(self._epoch_order(0)) // self.batch_size
+        # without drop_last every host must produce the SAME number of
+        # batches (they participate in the same collectives): use the
+        # worst-case per-host shard size
+        n_max = -(-len(self.records) // self.process_count)
+        return -(-n_max // self.batch_size)
 
     def _geometry(self, rec: PoseRecord, rng: np.random.Generator):
         return self.transform(rec, rng, self.augment)
@@ -205,7 +210,8 @@ class PosePipeline:
             idxs = order[bi * bs:(bi + 1) * bs]
             real = len(idxs)
             if real < bs:  # pad to fixed shape; mask via 'valid'
-                idxs = np.concatenate([idxs, np.repeat(idxs[-1:], bs - real)])
+                filler = idxs[-1:] if real else (order[-1:] if len(order) else np.array([0]))
+                idxs = np.concatenate([idxs, np.repeat(filler, bs - real)])
             recs = [self.records[r] for r in idxs]
             trans = np.zeros((bs, 2, 3), dtype=np.float32)
             joints = np.zeros((bs, self.num_joints, 3), dtype=np.float32)

@@ -176,11 +176,15 @@ class PoseSolver:
             )
         if cfgd.data.val_ann_path:
             recs = load_coco_keypoints(cfgd.data.val_img_root, cfgd.data.val_ann_path, cfgd.data.debug)
+            # val is sharded per host too (the reference instead idles
+            # ranks != 0, ddp_pose_resnet_solver.py:153-155); results are
+            # allgathered in validate()
             self.val_pipe = PosePipeline(
                 recs, cfgd.data.batch_size, input_shape=cfgd.data.input_shape,
                 output_shape=(in_w // 4, in_h // 4), canvas=cfgd.data.canvas,
                 augment=False, shuffle=False, drop_last=False, seed=cfgd.seed,
                 num_threads=cfgd.data.num_workers,
+                process_index=jax.process_index(), process_count=jax.process_count(),
             )
 
         steps_per_epoch = self.train_pipe.batches_per_epoch() if self.train_pipe else 1000
@@ -288,6 +292,7 @@ class PoseSolver:
     def validate(self, epoch: int, results_path: str = "temp_test.json"):
         self._compile()
         results = []
+        multihost = jax.process_count() > 1
         loss_sum, acc_sum, n = 0.0, 0.0, 0
         for batch in self.val_pipe.epoch(0):
             valid = batch["valid"]
@@ -296,6 +301,25 @@ class PoseSolver:
             loss_sum += float(out["loss"])
             acc_sum += float(out["acc"])
             n += 1
+            if multihost:
+                # each host holds only its shard of the sharded outputs;
+                # gather everything so every host can build the full result
+                # list (the reference instead evals on rank 0 only,
+                # ddp_pose_resnet_solver.py:153-155)
+                from jax.experimental import multihost_utils as mhu
+                from jax.sharding import PartitionSpec as P
+
+                local = mhu.global_array_to_host_local_array(
+                    {k: out[k] for k in ("kps", "kp_conf", "scores")}, self.mesh, P("data")
+                )
+                gathered = mhu.process_allgather(
+                    {**jax.tree.map(np.asarray, local), "img_id": img_ids, "valid": valid},
+                    tiled=True,
+                )
+                out = {"kps": gathered["kps"], "kp_conf": gathered["kp_conf"],
+                       "scores": gathered["scores"]}
+                img_ids = gathered["img_id"]
+                valid = gathered["valid"]
             kps = np.asarray(out["kps"])
             conf = np.asarray(out["kp_conf"])
             scores = np.asarray(out["scores"])
