@@ -52,6 +52,9 @@ def main():
         "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (b, 1, 1)),
         "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (b, 1, 1)),
     }
+    # stage once on device: measure the device program, not host->device
+    # bandwidth (tunnel-limited in this dev environment)
+    batch = jax.device_put(batch)
     out = ev(batch)
     float(jnp.sum(out["kps"]))
     t0 = time.perf_counter()
