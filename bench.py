@@ -12,6 +12,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -44,16 +45,23 @@ def main():
 
     n_dev = len(jax.devices())
     on_tpu = jax.default_backend() == "tpu"
-    batch = 128 if on_tpu else 8
+    batch = int(os.environ.get("BENCH_BATCH", 128 if on_tpu else 8))
     canvas = 640 if on_tpu else 128
     crop_shape, out_shape = ((256, 192), (64, 48)) if on_tpu else ((64, 64), (16, 16))
-    steps = 20 if on_tpu else 2
+    steps = int(os.environ.get("BENCH_STEPS", 20 if on_tpu else 2))
+    model_name = os.environ.get("BENCH_MODEL", "")  # e.g. "pose_hrnet:w32"
 
     mesh = make_mesh({"data": n_dev})
-    model = build_model(
-        "pose_resnet_dconv", "resnet50" if on_tpu else "resnet18",
-        num_joints=17, reduction=True, train=True,
-    )
+    if model_name:
+        mtype, mname = model_name.split(":")
+        model = build_model(mtype, mname, num_joints=17, train=True)
+        metric_model = f"{mtype}_{mname}"
+    else:
+        model = build_model(
+            "pose_resnet_dconv", "resnet50" if on_tpu else "resnet18",
+            num_joints=17, reduction=True, train=True,
+        )
+        metric_model = "resnet50dconv"
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1,) + crop_shape + (3,), jnp.float32))
     tx = optax.adam(multistep_schedule(1e-3, [120, 160], 0.1, 1000))
     state = TrainState(
@@ -106,7 +114,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_crops_per_sec_per_chip_256x192_resnet50dconv"
+                "metric": f"train_crops_per_sec_per_chip_256x192_{metric_model}"
                 if on_tpu
                 else "train_crops_per_sec_per_chip_cpu_smoke",
                 "value": round(per_chip, 2),
