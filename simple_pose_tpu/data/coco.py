@@ -41,7 +41,24 @@ class DetBoxRecord:
     img_id: int
 
 
-def load_coco_keypoints(img_root: str, ann_path: str, debug: int = 0) -> List[PoseRecord]:
+def _center_inconsistent(box, joints):
+    """Center-consistency filter (datasets/coco.py:96-122, off by default in
+    the reference too): drop instances whose keypoint centroid is far from
+    the box center relative to the box area."""
+    x1, y1, x2, y2 = box
+    bbox_center = np.array([(x1 + x2) / 2.0, (y1 + y2) / 2.0])
+    bbox_area = (y2 - y1) * (x2 - x1)
+    vis = joints[:, 2] > 0
+    num = float(joints[:, 2].sum())
+    kp_center = np.array(
+        [np.sum(joints[:, 0] * vis) / num, np.sum(joints[:, 1] * vis) / num]
+    )
+    ks = np.exp(-2 * np.sum(np.square(bbox_center - kp_center)) / bbox_area)
+    return (num / 80.0 + 47 / 80.0) > ks
+
+
+def load_coco_keypoints(img_root: str, ann_path: str, debug: int = 0,
+                        check_center: bool = False) -> List[PoseRecord]:
     with open(ann_path) as rf:
         data = json.load(rf)
     images = {img["id"]: img for img in data["images"]}
@@ -68,6 +85,8 @@ def load_coco_keypoints(img_root: str, ann_path: str, debug: int = 0) -> List[Po
             joints = np.array(obj["keypoints"], dtype=np.float32).reshape(-1, 3)
             joints[:, 2] = (joints[:, 2] >= 1).astype(np.float32)
             if joints[:, 2].sum() < 1.0:
+                continue
+            if check_center and _center_inconsistent((x1, y1, x2, y2), joints):
                 continue
             records.append(PoseRecord(file_path, width, height, [x1, y1, x2, y2], joints, img_id))
             if debug and len(records) >= debug:
