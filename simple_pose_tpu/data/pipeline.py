@@ -181,11 +181,12 @@ class PosePipeline:
         return order[self.process_index::self.process_count]
 
     def batches_per_epoch(self) -> int:
+        # every host must produce the SAME number of batches (they
+        # participate in the same collectives): size off the global record
+        # count, not this host's shard (which can differ by one)
         if self.drop_last:
-            return len(self._epoch_order(0)) // self.batch_size
-        # without drop_last every host must produce the SAME number of
-        # batches (they participate in the same collectives): use the
-        # worst-case per-host shard size
+            n_min = len(self.records) // self.process_count
+            return n_min // self.batch_size
         n_max = -(-len(self.records) // self.process_count)
         return -(-n_max // self.batch_size)
 
