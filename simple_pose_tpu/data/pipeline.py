@@ -99,13 +99,17 @@ class _SampleTransform:
 
 
 class _Prefetcher:
-    """Thread-pool batch producer with a bounded prefetch queue."""
+    """Thread-pool batch producer with a bounded prefetch window.
+
+    Workers may run at most ``prefetch`` batches ahead of the consumer
+    (bounding host memory at prefetch x batch bytes); a worker exception is
+    captured and re-raised at the consumer instead of hanging it."""
 
     def __init__(self, make_batch, num_batches, num_threads=8, prefetch=4):
-        self._q = queue.Queue(maxsize=prefetch)
         self._make_batch = make_batch
         self._num = num_batches
-        self._threads = num_threads
+        self._threads = max(1, num_threads)
+        self._prefetch = max(1, prefetch)
 
     def __iter__(self):
         indices = queue.Queue()
@@ -114,14 +118,22 @@ class _Prefetcher:
         results = {}
         lock = threading.Lock()
         cond = threading.Condition(lock)
+        window = threading.Semaphore(self._prefetch)
+        consumed = threading.Event()
 
         def worker():
             while True:
+                window.acquire()
+                if consumed.is_set():
+                    return
                 try:
                     i = indices.get_nowait()
                 except queue.Empty:
                     return
-                b = self._make_batch(i)
+                try:
+                    b = self._make_batch(i)
+                except BaseException as e:  # propagate to the consumer
+                    b = e
                 with cond:
                     results[i] = b
                     cond.notify_all()
@@ -129,11 +141,20 @@ class _Prefetcher:
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self._threads)]
         for t in threads:
             t.start()
-        for i in range(self._num):
-            with cond:
-                while i not in results:
-                    cond.wait()
-                yield results.pop(i)
+        try:
+            for i in range(self._num):
+                with cond:
+                    while i not in results:
+                        cond.wait()
+                    b = results.pop(i)
+                window.release()
+                if isinstance(b, BaseException):
+                    raise b
+                yield b
+        finally:
+            consumed.set()
+            for _ in threads:
+                window.release()
 
 
 class PosePipeline:
@@ -266,14 +287,19 @@ class DetBoxPipeline(PosePipeline):
         return trans.astype(np.float32), joints, np.asarray(trans_inv, np.float32)
 
     def epoch(self, epoch: int = 0):
+        # mirror the parent's batching of the per-host epoch order exactly so
+        # area/score stay aligned with the crops under sharding or shuffling
+        order = self._epoch_order(epoch)
+        bs = self.batch_size
         for bi, batch in enumerate(super().epoch(epoch)):
-            bs = self.batch_size
-            start = bi * bs
+            idxs = order[bi * bs:(bi + 1) * bs]
+            if len(idxs) < bs:
+                filler = idxs[-1:] if len(idxs) else (order[-1:] if len(order) else np.array([0]))
+                idxs = np.concatenate([idxs, np.repeat(filler, bs - len(idxs))])
             areas = np.zeros((bs,), dtype=np.float32)
             scores = np.zeros((bs,), dtype=np.float32)
-            for k in range(bs):
-                ridx = min(start + k, len(self.det_records) - 1)
-                r = self.det_records[ridx]
+            for k, ridx in enumerate(idxs):
+                r = self.det_records[int(ridx)]
                 x1, y1, x2, y2 = r.box
                 _, scale = A.box_to_center_scale(x1, y1, x2 - x1, y2 - y1, self.transform.w_h_ratio)
                 areas[k] = scale[0] * scale[1]

@@ -61,12 +61,16 @@ def _normalize(crops):
 
 
 def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), amp=False,
-                    crop_impl="auto"):
+                    crop_impl="auto", ema: bool = True):
     """Build the jitted SPMD train step: (state, batch) -> (state, metrics).
 
     crop_impl: 'pallas' (fused VMEM kernel, fastest on TPU), 'mxu' (XLA
     one-hot matmul warp), 'gather' (exact-parity reference path), or 'auto'
-    (pallas on TPU, mxu elsewhere)."""
+    (pallas on TPU, mxu elsewhere).
+    ema=False skips the moving average; the ema_* slots then track the raw
+    weights, matching the reference's habit of storing the raw state under
+    the checkpoint's "ema" key when ModelEMA is disabled
+    (dp_pose_resnet_solver.py:86,181)."""
     if crop_impl == "auto":
         crop_impl = "pallas" if jax.default_backend() == "tpu" else "mxu"
     inter = int(np.ceil(np.hypot(*crop_shape))) + 8
@@ -106,8 +110,11 @@ def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         step = state.step + 1
-        new_ema_params = ema_update(state.ema_params, new_params, step)
-        new_ema_stats = ema_update(state.ema_batch_stats, new_stats, step)
+        if ema:
+            new_ema_params = ema_update(state.ema_params, new_params, step)
+            new_ema_stats = ema_update(state.ema_batch_stats, new_stats, step)
+        else:
+            new_ema_params, new_ema_stats = new_params, new_stats
         acc = heatmap_accuracy(preds * mask, targets * mask)
         metrics = {"loss": loss, "acc": acc}
         return (
@@ -263,7 +270,7 @@ class PoseSolver:
     def _compile(self):
         if self._train_step is None:
             step_fn = make_train_step(self.train_model, self.tx, self.out_shape, self.crop_shape,
-                                      amp=self.cfg.optim.amp)
+                                      amp=self.cfg.optim.amp, ema=self.cfg.optim.ema)
             self._train_step = jax.jit(step_fn, donate_argnums=0)
         if self._val_step is None:
             decoder = "gauss_taylor" if self.cfg.model.type == "pose_hrnet" else "basic"
