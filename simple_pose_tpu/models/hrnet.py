@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import yaml
 
-from simple_pose_tpu.models.layers import batch_norm, conv, conv1x1, conv3x3
+from simple_pose_tpu.models.layers import HEAD_INIT, batch_norm, conv, conv1x1, conv3x3
 from simple_pose_tpu.models.resnet import BasicBlock, Bottleneck
 
 __all__ = ["PoseHRNet", "build_hrnet", "HRNET_W32_CFG", "HRNET_W48_CFG"]
@@ -157,7 +157,8 @@ class PoseHRNet(nn.Module):
             prev_channels = cur_channels
 
         k = cfg.get("FINAL_CONV_KERNEL", 1)
-        return conv(self.num_joints, k, padding=1 if k == 3 else 0, use_bias=True, name="final_layer")(ys[0])
+        return conv(self.num_joints, k, padding=1 if k == 3 else 0, use_bias=True,
+                    kernel_init=HEAD_INIT, name="final_layer")(ys[0])
 
 
 def build_hrnet(cfg="w32", num_joints: int = 17, train: bool = False):

@@ -27,10 +27,18 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
-KERNEL_INIT = nn.initializers.normal(stddev=0.001)
+# Head layers keep the reference's normal(0.001) (pose_resnet_dconv.py:
+# 180-189 -- stable heatmap regression); backbone convs use He fan-out like
+# torch's kaiming_normal_, because the reference's blanket 0.001 init is only
+# viable there since ImageNet weights overwrite the trunk (strict=False
+# load); training from scratch with 0.001 everywhere cannot move.
+HEAD_INIT = nn.initializers.normal(stddev=0.001)
+BODY_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+KERNEL_INIT = BODY_INIT
 
 
-def conv(features, kernel, stride=1, padding=0, groups=1, use_bias=False, name=None, dilation=1):
+def conv(features, kernel, stride=1, padding=0, groups=1, use_bias=False, name=None, dilation=1,
+         kernel_init=None):
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),
@@ -38,7 +46,7 @@ def conv(features, kernel, stride=1, padding=0, groups=1, use_bias=False, name=N
         padding=[(padding, padding), (padding, padding)],
         feature_group_count=groups,
         use_bias=use_bias,
-        kernel_init=KERNEL_INIT,
+        kernel_init=kernel_init if kernel_init is not None else BODY_INIT,
         kernel_dilation=(dilation, dilation),
         name=name,
     )
@@ -80,7 +88,7 @@ class TorchConvTranspose(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        w = self.param("kernel", KERNEL_INIT, (self.kernel, self.kernel, in_ch, self.features))
+        w = self.param("kernel", HEAD_INIT, (self.kernel, self.kernel, in_ch, self.features))
         pad = self.kernel - 1 - self.padding
         dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
         y = lax.conv_general_dilated(

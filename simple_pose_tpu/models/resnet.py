@@ -26,6 +26,7 @@ import flax.linen as nn
 
 from simple_pose_tpu.models.layers import (
     DUC,
+    HEAD_INIT,
     SELayer,
     TorchConvTranspose,
     batch_norm,
@@ -147,12 +148,12 @@ class PoseResNet(nn.Module):
                 x = TorchConvTranspose(256, 4, 2, 1, name=f"deconv_{i}")(x)
                 x = batch_norm(self.train, name=f"deconv_bn_{i}")(x)
                 x = nn.relu(x)
-            x = conv(self.num_joints, 1, use_bias=True, name="final_layer")(x)
+            x = conv(self.num_joints, 1, use_bias=True, kernel_init=HEAD_INIT, name="final_layer")(x)
         elif self.head == "duc":
             x = pixel_shuffle(x, 2)
             x = DUC(1024, train=self.train, name="duc_1")(x)
             x = DUC(512, train=self.train, name="duc_2")(x)
-            x = conv(self.num_joints, 3, padding=1, use_bias=True, name="final_layer")(x)
+            x = conv(self.num_joints, 3, padding=1, use_bias=True, kernel_init=HEAD_INIT, name="final_layer")(x)
         else:
             raise ValueError(f"unknown head {self.head!r}")
         return x
