@@ -145,3 +145,17 @@ def test_run_loop_with_resume(solver_env, tmp_path):
     solver2.init_state()
     start = solver2.restore_checkpoint()
     assert start == 1  # epoch 0 done; resume would start at 1 (== epochs, so no-op)
+
+
+def test_two_axis_mesh(solver_env):
+    """The reserved 'model' mesh axis composes with data parallelism
+    (SURVEY.md section 2 parallelism plan): params replicated, batch sharded
+    over 'data' only."""
+    img_root, ann_path, root = solver_env
+    cfg = _cfg(img_root, ann_path, root)
+    cfg.mesh = {"data": 4, "model": 2}
+    solver = PoseSolver(cfg)
+    assert solver.mesh.shape == {"data": 4, "model": 2}
+    solver.init_state()
+    m = solver.train_epoch(0, log_every=0)
+    assert np.isfinite(m["loss"])
