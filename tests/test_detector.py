@@ -206,3 +206,15 @@ def test_detector_end_to_end_smoke():
     assert boxes.ndim == 2 and boxes.shape[1] == 6
     if len(boxes):
         assert boxes[:, 0].min() >= -1e-3 and boxes[:, 2].max() <= 400 + 1e-3
+
+
+def test_yolov4_forward():
+    from simple_pose_tpu.detector.yolov4 import YOLOv4
+
+    m = YOLOv4(num_cls=80, scale_name="s")
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    n = (16**2 + 8**2 + 4**2) * 3
+    assert out.shape == (1, n, 85)
+    assert np.all(np.isfinite(np.asarray(out)))
