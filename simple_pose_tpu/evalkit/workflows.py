@@ -25,7 +25,7 @@ from __future__ import annotations
 import json
 import os
 from collections import defaultdict
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
