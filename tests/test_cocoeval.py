@@ -149,3 +149,30 @@ def test_maxdets_cap():
         results.append(_result(1, junk, 0.5 - 0.001 * k))
     stats = _run(gt, results)
     assert stats["AR"] == 1.0
+
+
+def test_duplicate_detections_second_becomes_fp():
+    """Greedy matching: the higher-scored duplicate matches the gt, the
+    second becomes a false positive that drags precision."""
+    gt, store = _make_gt(num_images=2)
+    results = [_result(i, store[i], 0.9) for i in store]
+    dup = store[1].copy()
+    dup[:, :2] += 1.0  # near-duplicate of image 1's gt
+    stats_clean = _run(gt, list(results))
+    stats_dup = _run(gt, results + [_result(1, dup, 0.95)])
+    assert stats_dup["AP"] < stats_clean["AP"]
+    assert abs(stats_dup["AR"] - stats_clean["AR"]) < 1e-9  # recall unharmed
+
+
+def test_crowd_gt_absorbs_extra_detections():
+    """iscrowd gts can match multiple detections without penalty."""
+    gt, store = _make_gt(num_images=2)
+    gt["annotations"][0]["iscrowd"] = 1  # image 1 becomes crowd
+    results = [_result(2, store[2], 0.9)]
+    # two detections on the crowd region: both should be ignored, not FPs
+    results.append(_result(1, store[1], 0.95))
+    near = store[1].copy()
+    near[:, :2] += 1.0
+    results.append(_result(1, near, 0.85))
+    stats = _run(gt, results)
+    assert abs(stats["AP"] - 1.0) < 1e-9
