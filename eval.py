@@ -51,6 +51,8 @@ def main():
     common(p, model=False)
     p.add_argument("--det-weights", default=None)
     p.add_argument("--scale-name", default="l")
+    p.add_argument("--detector-family", default="yolov5", choices=["yolov5", "yolov4"])
+    p.add_argument("--canvas", type=int, default=1280)
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.5)
     p.add_argument("--out", default="person_detections.json")
@@ -65,6 +67,7 @@ def main():
     common(p)
     p.add_argument("--det-weights", default=None)
     p.add_argument("--scale-name", default="l")
+    p.add_argument("--detector-family", default="yolov5", choices=["yolov5", "yolov4"])
 
     args = ap.parse_args()
     from simple_pose_tpu import evalkit
@@ -87,7 +90,8 @@ def main():
         gen_detections(args.img_root, args.ann, out_path=args.out,
                        conf_thresh=args.conf, iou_thresh=args.iou,
                        weights_path=args.det_weights, scale_name=args.scale_name,
-                       batch_size=args.batch_size, debug=args.debug)
+                       batch_size=args.batch_size, debug=args.debug,
+                       detector_family=args.detector_family, canvas=args.canvas)
         print(f"wrote {args.out}")
         return
     elif args.cmd == "rescore":
@@ -99,6 +103,7 @@ def main():
             args.img_root, args.ann, _model_cfg(args), pose_weights=args.weights,
             detector_weights=args.det_weights, scale_name=args.scale_name,
             batch_size=args.batch_size, flip_test=args.flip_test, debug=args.debug,
+            detector_family=args.detector_family,
         )
     print(json.dumps({k: round(float(v), 4) for k, v in stats.items()}, indent=2))
 

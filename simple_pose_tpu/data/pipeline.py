@@ -169,7 +169,8 @@ class PosePipeline:
                  augment: bool = True, shuffle: bool = True, seed: int = 1024,
                  num_threads: int = 8, prefetch: int = 4,
                  process_index: int = 0, process_count: int = 1,
-                 drop_last: bool = True, use_native: Optional[bool] = None):
+                 drop_last: bool = True, use_native: Optional[bool] = None,
+                 dedup_canvases: int = 0, dedup_buckets: int = 1):
         self.records = list(records)
         self.batch_size = batch_size
         self.canvas = canvas
@@ -183,6 +184,17 @@ class PosePipeline:
         self.drop_last = drop_last
         self.transform = _SampleTransform(input_shape=input_shape, output_shape=output_shape)
         self.num_joints = self.records[0].joints.shape[0] if self.records else 17
+        # canvas dedup: COCO averages ~2.3 instances/image, so shipping one
+        # canvas per CROP wastes ~2x host decode + H2D.  dedup_canvases = U
+        # canvas slots per batch (0 = off); crops stay at batch_size.  Slots
+        # and crops are packed per device bucket (dedup_buckets = data-axis
+        # size) so the on-device canvas gather is bucket-LOCAL ("canvas_idx"
+        # holds bucket-local slot indices) and needs no cross-device traffic.
+        self.dedup_canvases = int(dedup_canvases)
+        self.dedup_buckets = max(1, int(dedup_buckets))
+        if self.dedup_canvases:
+            assert batch_size % self.dedup_buckets == 0, (batch_size, dedup_buckets)
+            assert self.dedup_canvases % self.dedup_buckets == 0, (dedup_canvases, dedup_buckets)
         # native batch JPEG decoder (C++ thread pool); None = auto-detect.
         # Only .jpg/.jpeg go native; anything else falls back to cv2.
         self._native = None
@@ -195,11 +207,7 @@ class PosePipeline:
                 raise RuntimeError("native loader requested but unavailable")
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
-        n = len(self.records)
-        order = np.arange(n)
-        if self.shuffle:
-            order = np.random.default_rng(self.seed + epoch).permutation(n)
-        return order[self.process_index::self.process_count]
+        return self._epoch_order_for(epoch, self.process_index)
 
     def batches_per_epoch(self) -> int:
         # every host must produce the SAME number of batches (they
@@ -214,6 +222,131 @@ class PosePipeline:
     def _geometry(self, rec: PoseRecord, rng: np.random.Generator):
         return self.transform(rec, rng, self.augment)
 
+    # -- canvas dedup packing ------------------------------------------------
+
+    def _pack_epoch(self, epoch: int, process_index: Optional[int] = None):
+        """Greedy per-bucket packing plan (pure index math, no IO).
+
+        Returns a list of batch plans; each plan is a list of dedup_buckets
+        buckets, each bucket = (canvas_paths, crops) with crops a list of
+        (local_canvas_slot, record_idx | None).  None = padded crop slot
+        (canvas slots ran out on a run of single-instance images); padded
+        crops carry zero joints so the loss mask drops them.
+        """
+        order = self._epoch_order(epoch) if process_index is None else (
+            self._epoch_order_for(epoch, process_index))
+        # instance groups by source image, ordered by first appearance
+        by_img: dict = {}
+        for ridx in order:
+            by_img.setdefault(self.records[int(ridx)].img_path, []).append(int(ridx))
+        groups = [(path, insts) for path, insts in by_img.items()]
+        n = self.dedup_buckets
+        cap_crops = self.batch_size // n
+        cap_canv = self.dedup_canvases // n
+        plans = []
+        gi = 0
+        carry = None  # remainder of a split group: (path, insts)
+        while True:
+            plan = []
+            exhausted = False
+            for _ in range(n):
+                canv, crops = [], []
+                while len(crops) < cap_crops:
+                    if carry is not None:
+                        path, insts = carry
+                        carry = None
+                    elif gi < len(groups):
+                        path, insts = groups[gi]
+                        gi += 1
+                    else:
+                        exhausted = True
+                        break
+                    if len(canv) == cap_canv:
+                        carry = (path, insts)  # no slot left; bucket pads
+                        break
+                    room = cap_crops - len(crops)
+                    take, rest = insts[:room], insts[room:]
+                    ci = len(canv)
+                    canv.append(path)
+                    crops.extend((ci, r) for r in take)
+                    if rest:  # image spills into the next bucket/batch
+                        carry = (path, rest)
+                        break
+                while len(crops) < cap_crops:  # pad (valid=0, masked loss)
+                    crops.append((0, None))
+                plan.append((canv, crops))
+            if exhausted and self.drop_last:
+                break
+            plans.append(plan)
+            if exhausted or (gi >= len(groups) and carry is None):
+                break
+        return plans
+
+    def _epoch_order_for(self, epoch: int, process_index: int) -> np.ndarray:
+        n = len(self.records)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + epoch).permutation(n)
+        return order[process_index::self.process_count]
+
+    def dedup_batches_per_epoch(self, epoch: int) -> int:
+        """Packed batch count, equalized across hosts (every host packs every
+        host's plan -- cheap index math -- and takes the min, so collectives
+        can't deadlock on a skewed instance distribution)."""
+        return min(
+            len(self._pack_epoch(epoch, process_index=h)) for h in range(self.process_count)
+        )
+
+    def _dedup_epoch(self, epoch: int) -> Iterator[dict]:
+        plans = self._pack_epoch(epoch)
+        nb = self.dedup_batches_per_epoch(epoch) if self.process_count > 1 else len(plans)
+        n = self.dedup_buckets
+        cap_canv = self.dedup_canvases // n
+        bs, U = self.batch_size, self.dedup_canvases
+
+        def make_batch(bi):
+            plan = plans[bi]
+            canvases = np.zeros((U, self.canvas, self.canvas, 3), dtype=np.uint8)
+            canvas_idx = np.zeros((bs,), dtype=np.int32)
+            trans = np.zeros((bs, 2, 3), dtype=np.float32)
+            joints = np.zeros((bs, self.num_joints, 3), dtype=np.float32)
+            trans_inv = np.zeros((bs, 2, 3), dtype=np.float32)
+            img_ids = np.zeros((bs,), dtype=np.int64)
+            valid = np.zeros((bs,), dtype=np.float32)
+            k = 0
+            for b, (canv, crops) in enumerate(plan):
+                paths_native = self._native is not None and all(
+                    p.lower().endswith((".jpg", ".jpeg")) for p in canv
+                )
+                if paths_native and canv:
+                    loaded, _, _ = self._native.load_batch(canv, self.canvas)
+                    canvases[b * cap_canv:b * cap_canv + len(canv)] = loaded
+                else:
+                    for ci, path in enumerate(canv):
+                        img = _imread_rgb(path)
+                        h, w = img.shape[:2]
+                        ch, cw = min(h, self.canvas), min(w, self.canvas)
+                        canvases[b * cap_canv + ci, :ch, :cw] = img[:ch, :cw]
+                for ci, ridx in crops:
+                    canvas_idx[k] = ci  # bucket-LOCAL slot index
+                    if ridx is not None:
+                        rec = self.records[ridx]
+                        rng = np.random.default_rng((self.seed, epoch, int(ridx)))
+                        trans[k], joints[k], trans_inv[k] = self._geometry(rec, rng)
+                        img_ids[k] = rec.img_id
+                        valid[k] = 1.0
+                    else:  # padded slot: identity-ish crop, zero joints
+                        trans[k] = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+                        trans_inv[k] = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+                    k += 1
+            return {
+                "canvas": canvases, "canvas_idx": canvas_idx, "trans": trans,
+                "joints": joints, "trans_inv": trans_inv, "img_id": img_ids,
+                "valid": valid,
+            }
+
+        return iter(_Prefetcher(make_batch, nb, self.num_threads, self.prefetch))
+
     def _load_sample(self, rec: PoseRecord, rng: np.random.Generator):
         img = _imread_rgb(rec.img_path)
         h, w = img.shape[:2]
@@ -224,6 +357,8 @@ class PosePipeline:
         return canvas, trans, joints_out, trans_inv
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        if self.dedup_canvases:
+            return self._dedup_epoch(epoch)
         order = self._epoch_order(epoch)
         bs = self.batch_size
         nb = self.batches_per_epoch()

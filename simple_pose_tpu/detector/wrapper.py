@@ -26,7 +26,7 @@ from simple_pose_tpu.detector.nms import non_max_suppression_jit
 from simple_pose_tpu.detector.yolov5 import YOLOv5
 from simple_pose_tpu.ops.warp import affine_crop_separable
 
-__all__ = ["letterbox_params", "slice_person_head", "YOLOv5Detector"]
+__all__ = ["letterbox_params", "slice_person_head", "YOLOv5Detector", "PersonDetector"]
 
 
 def letterbox_params(h, w, target=(640, 640), scale_up=True):
@@ -75,18 +75,31 @@ def slice_person_head(variables, num_cls=80, anchor_per_grid=3, slice_idx=0):
 
 
 class YOLOv5Detector:
-    """Person detector for the detect -> crop -> pose pipeline."""
+    """Person detector for the detect -> crop -> pose pipeline.
+
+    model_family: 'yolov5' (detector/nets/yolov5.py) or 'yolov4'
+    (detector/nets/yolov4.py:148-164) -- both share the anchor head and the
+    ['ema'] checkpoint layout, so weight loading and person-head slicing are
+    identical."""
 
     def __init__(self, weights_path: Optional[str] = None, num_cls: int = 80,
                  scale_name: str = "l", scale_size: Tuple[int, int] = (640, 640),
                  iou_thresh: float = 0.6, conf_thresh: float = 0.001,
-                 slice_idx: int = 0, canvas: int = 1280):
+                 slice_idx: int = 0, canvas: int = 1280,
+                 model_family: str = "yolov5"):
         self.scale_size = scale_size
         self.iou_thresh = iou_thresh
         self.conf_thresh = conf_thresh
         self.canvas = canvas
         self.num_cls = num_cls if slice_idx < 0 else 1
-        self.model = YOLOv5(num_cls=self.num_cls, scale_name=scale_name)
+        if model_family == "yolov5":
+            self.model = YOLOv5(num_cls=self.num_cls, scale_name=scale_name)
+        elif model_family == "yolov4":
+            from simple_pose_tpu.detector.yolov4 import YOLOv4
+
+            self.model = YOLOv4(num_cls=self.num_cls, scale_name=scale_name)
+        else:
+            raise KeyError(f"unknown detector family {model_family!r}")
 
         x0 = jnp.zeros((1, scale_size[1], scale_size[0], 3), jnp.float32)
         if weights_path:
@@ -171,3 +184,8 @@ class YOLOv5Detector:
         if cw < self.canvas:
             canvas[:ch + 1, cw] = canvas[:ch + 1, cw - 1]
         return self.predict_batch(canvas[None], [(h, w)])[0]
+
+
+# the wrapper serves both detector families; keep the reference-parity name
+# as the canonical one and this alias for call sites that pick the family
+PersonDetector = YOLOv5Detector

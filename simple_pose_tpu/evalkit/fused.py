@@ -36,13 +36,14 @@ class FusedDetectPose:
                  detector_weights: Optional[str] = None, scale_name: str = "l",
                  det_size=(640, 640), input_shape=(192, 256), max_people: int = 16,
                  det_conf: float = 0.25, det_iou: float = 0.5, decoder: str = "gauss_taylor",
-                 canvas: int = 1280):
+                 canvas: int = 1280, detector_family: str = "yolov5"):
         self.canvas = canvas
         self.det_size = det_size
         self.max_people = max_people
         self.detector = YOLOv5Detector(
             weights_path=detector_weights, scale_name=scale_name, scale_size=det_size,
             conf_thresh=det_conf, iou_thresh=det_iou, canvas=canvas,
+            model_family=detector_family,
         )
         crop_shape = (input_shape[1], input_shape[0])
         self.pose_model, self.pose_vars = load_model_variables(pose_model_cfg, pose_weights, crop_shape)

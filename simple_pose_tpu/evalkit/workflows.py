@@ -242,7 +242,8 @@ def rescore_and_filter(predictions, gt_ann_path, in_vis_thre=0.2, oks_thre=0.9,
 
 def gen_detections(img_root, ann_path, detector=None, out_path="person_detections.json",
                    batch_size=8, conf_thresh=0.25, iou_thresh=0.5, canvas=1280,
-                   weights_path=None, scale_name="l", debug=0):
+                   weights_path=None, scale_name="l", debug=0,
+                   detector_family="yolov5"):
     """Run the person detector over the val images and dump a COCO-format
     detection json consumable by predicts_by_detections
     (gen_data_by_detector parity, eval.py:69-98; the output format is the
@@ -255,7 +256,8 @@ def gen_detections(img_root, ann_path, detector=None, out_path="person_detection
 
     if detector is None:
         detector = YOLOv5Detector(weights_path=weights_path, scale_name=scale_name,
-                                  conf_thresh=conf_thresh, iou_thresh=iou_thresh, canvas=canvas)
+                                  conf_thresh=conf_thresh, iou_thresh=iou_thresh, canvas=canvas,
+                                  model_family=detector_family)
     with open(ann_path) as rf:
         images = json.load(rf)["images"]
     if debug:
@@ -292,13 +294,13 @@ def gen_detections(img_root, ann_path, detector=None, out_path="person_detection
 def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
                      detector_weights=None, scale_name="l", det_conf=0.25, det_iou=0.5,
                      batch_size=32, input_shape=(192, 256), flip_test=False,
-                     work_dir=".", debug=0):
+                     work_dir=".", debug=0, detector_family="yolov5"):
     """End-to-end detect -> crop -> pose -> rescoring AP
     (README.md:94-106 workflow; BASELINE.json config #5)."""
     det_path = os.path.join(work_dir, "person_detections.json")
     gen_detections(img_root, ann_path, out_path=det_path, conf_thresh=det_conf,
                    iou_thresh=det_iou, weights_path=detector_weights,
-                   scale_name=scale_name, debug=debug)
+                   scale_name=scale_name, debug=debug, detector_family=detector_family)
     return predicts_by_detections(
         img_root, det_path, ann_path, pose_model_cfg, weights=pose_weights,
         batch_size=batch_size, input_shape=input_shape, flip_test=flip_test,

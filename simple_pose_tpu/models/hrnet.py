@@ -55,6 +55,7 @@ class PoseHRNet(nn.Module):
     cfg: Any = None  # topology dict (EXTRA section); default W32
     num_joints: int = 17
     train: bool = False
+    dtype: Any = None
 
     def _branch(self, x, stage: str, module: int, branch: int, block_name: str,
                 num_blocks: int, channels: int, in_channels: int):
@@ -67,6 +68,7 @@ class PoseHRNet(nn.Module):
                 stride=1,
                 use_downsample=use_ds,
                 train=self.train,
+                dtype=self.dtype,
                 name=f"{stage}_m{module}_b{branch}_{i}",
             )(x)
             in_channels = channels * exp
@@ -82,16 +84,20 @@ class PoseHRNet(nn.Module):
                 if j == i:
                     t = xs[j]
                 elif j > i:
-                    t = conv1x1(channels[i], name=f"{stage}_m{module}_fuse_{i}_{j}")(xs[j])
-                    t = batch_norm(self.train, name=f"{stage}_m{module}_fuse_{i}_{j}_bn")(t)
+                    t = conv1x1(channels[i], name=f"{stage}_m{module}_fuse_{i}_{j}",
+                                dtype=self.dtype)(xs[j])
+                    t = batch_norm(self.train, name=f"{stage}_m{module}_fuse_{i}_{j}_bn",
+                                   dtype=self.dtype)(t)
                     t = _upsample_nearest(t, 2 ** (j - i))
                 else:
                     t = xs[j]
                     for k in range(i - j):
                         last = k == i - j - 1
                         out_ch = channels[i] if last else channels[j]
-                        t = conv3x3(out_ch, stride=2, name=f"{stage}_m{module}_fuse_{i}_{j}_{k}")(t)
-                        t = batch_norm(self.train, name=f"{stage}_m{module}_fuse_{i}_{j}_{k}_bn")(t)
+                        t = conv3x3(out_ch, stride=2, name=f"{stage}_m{module}_fuse_{i}_{j}_{k}",
+                                    dtype=self.dtype)(t)
+                        t = batch_norm(self.train, name=f"{stage}_m{module}_fuse_{i}_{j}_{k}_bn",
+                                       dtype=self.dtype)(t)
                         if not last:
                             t = nn.relu(t)
                 y = t if y is None else y + t
@@ -106,8 +112,8 @@ class PoseHRNet(nn.Module):
                 if cur_channels[i] != prev_channels[i]:
                     # reference forward feeds y_list[-1] whenever a transition
                     # module exists (pose_hrnet.py:430-431, 438-439, 446-447)
-                    x = conv3x3(cur_channels[i], name=f"transition{t}_{i}")(ys[-1])
-                    x = batch_norm(self.train, name=f"transition{t}_{i}_bn")(x)
+                    x = conv3x3(cur_channels[i], name=f"transition{t}_{i}", dtype=self.dtype)(ys[-1])
+                    x = batch_norm(self.train, name=f"transition{t}_{i}_bn", dtype=self.dtype)(x)
                     outs.append(nn.relu(x))
                 else:
                     outs.append(ys[i])
@@ -115,8 +121,8 @@ class PoseHRNet(nn.Module):
                 x = ys[-1]
                 for j in range(i + 1 - len(prev_channels)):
                     out_ch = cur_channels[i] if j == i - len(prev_channels) else prev_channels[-1]
-                    x = conv3x3(out_ch, stride=2, name=f"transition{t}_{i}_{j}")(x)
-                    x = batch_norm(self.train, name=f"transition{t}_{i}_{j}_bn")(x)
+                    x = conv3x3(out_ch, stride=2, name=f"transition{t}_{i}_{j}", dtype=self.dtype)(x)
+                    x = batch_norm(self.train, name=f"transition{t}_{i}_{j}_bn", dtype=self.dtype)(x)
                     x = nn.relu(x)
                 outs.append(x)
         return outs
@@ -125,11 +131,11 @@ class PoseHRNet(nn.Module):
     def __call__(self, x):
         cfg = self.cfg if self.cfg is not None else HRNET_W32_CFG
         # stem (pose_hrnet.py:276-283)
-        x = conv(64, 3, stride=2, padding=1, name="conv1")(x)
-        x = batch_norm(self.train, name="bn1")(x)
+        x = conv(64, 3, stride=2, padding=1, name="conv1", dtype=self.dtype)(x)
+        x = batch_norm(self.train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = conv(64, 3, stride=2, padding=1, name="conv2")(x)
-        x = batch_norm(self.train, name="bn2")(x)
+        x = conv(64, 3, stride=2, padding=1, name="conv2", dtype=self.dtype)(x)
+        x = batch_norm(self.train, name="bn2", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = self._branch(x, "layer1", 0, 0, "BOTTLENECK", cfg.get("LAYER1_NUM_BLOCKS", 4), 64, 64)
 
@@ -158,10 +164,10 @@ class PoseHRNet(nn.Module):
 
         k = cfg.get("FINAL_CONV_KERNEL", 1)
         return conv(self.num_joints, k, padding=1 if k == 3 else 0, use_bias=True,
-                    kernel_init=HEAD_INIT, name="final_layer")(ys[0])
+                    kernel_init=HEAD_INIT, name="final_layer", dtype=self.dtype)(ys[0])
 
 
-def build_hrnet(cfg="w32", num_joints: int = 17, train: bool = False):
+def build_hrnet(cfg="w32", num_joints: int = 17, train: bool = False, dtype=None):
     """cfg: 'w32' | 'w48' | a dict (EXTRA schema) | a YAML path with
     MODEL.EXTRA (the reference nets/hrnet_w32.yaml layout)."""
     if cfg == "w32":
@@ -172,4 +178,4 @@ def build_hrnet(cfg="w32", num_joints: int = 17, train: bool = False):
         with open(cfg) as rf:
             raw = yaml.safe_load(rf)
         cfg = raw["MODEL"]["EXTRA"] if "MODEL" in raw else raw
-    return PoseHRNet(cfg=cfg, num_joints=num_joints, train=train)
+    return PoseHRNet(cfg=cfg, num_joints=num_joints, train=train, dtype=dtype)

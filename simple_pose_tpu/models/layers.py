@@ -38,7 +38,10 @@ KERNEL_INIT = BODY_INIT
 
 
 def conv(features, kernel, stride=1, padding=0, groups=1, use_bias=False, name=None, dilation=1,
-         kernel_init=None):
+         kernel_init=None, dtype=None):
+    """``dtype`` is the flax compute dtype: params stay float32
+    (param_dtype default) and are cast at use, so ``dtype=jnp.bfloat16``
+    gives TPU mixed precision without touching the stored weights."""
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),
@@ -48,23 +51,28 @@ def conv(features, kernel, stride=1, padding=0, groups=1, use_bias=False, name=N
         use_bias=use_bias,
         kernel_init=kernel_init if kernel_init is not None else BODY_INIT,
         kernel_dilation=(dilation, dilation),
+        dtype=dtype,
         name=name,
     )
 
 
-def conv3x3(features, stride=1, groups=1, dilation=1, name=None):
-    return conv(features, 3, stride, dilation, groups=groups, dilation=dilation, name=name)
+def conv3x3(features, stride=1, groups=1, dilation=1, name=None, dtype=None):
+    return conv(features, 3, stride, dilation, groups=groups, dilation=dilation, name=name,
+                dtype=dtype)
 
 
-def conv1x1(features, stride=1, name=None):
-    return conv(features, 1, stride, 0, name=name)
+def conv1x1(features, stride=1, name=None, dtype=None):
+    return conv(features, 1, stride, 0, name=name, dtype=dtype)
 
 
-def batch_norm(train: bool, name=None, momentum=0.9):
+def batch_norm(train: bool, name=None, momentum=0.9, dtype=None):
+    """flax computes BN statistics in (at least) float32 regardless of
+    ``dtype`` and stores batch_stats as float32, so bf16 compute is safe."""
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=momentum,
         epsilon=1e-5,
+        dtype=dtype,
         name=name,
     )
 
@@ -84,11 +92,15 @@ class TorchConvTranspose(nn.Module):
     stride: int = 2
     padding: int = 1
     use_bias: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         w = self.param("kernel", HEAD_INIT, (self.kernel, self.kernel, in_ch, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
         pad = self.kernel - 1 - self.padding
         dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
         y = lax.conv_general_dilated(
@@ -101,7 +113,7 @@ class TorchConvTranspose(nn.Module):
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + b
+            y = y + (b.astype(self.dtype) if self.dtype is not None else b)
         return y
 
 
@@ -127,13 +139,14 @@ class SELayer(nn.Module):
 
     channel: int
     reduction: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = conv(self.channel // self.reduction, 1, use_bias=True, name="fc1")(y)
+        y = conv(self.channel // self.reduction, 1, use_bias=True, name="fc1", dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = conv(self.channel, 1, use_bias=True, name="fc2")(y)
+        y = conv(self.channel, 1, use_bias=True, name="fc2", dtype=self.dtype)(y)
         y = nn.sigmoid(y)
         return x * y
 
@@ -145,10 +158,11 @@ class DUC(nn.Module):
     planes: int
     upscale: int = 2
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = conv3x3(self.planes, name="conv")(x)
-        x = batch_norm(self.train, name="bn")(x)
+        x = conv3x3(self.planes, name="conv", dtype=self.dtype)(x)
+        x = batch_norm(self.train, name="bn", dtype=self.dtype)(x)
         x = nn.relu(x)
         return pixel_shuffle(x, self.upscale)

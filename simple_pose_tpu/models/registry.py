@@ -21,22 +21,31 @@ MODEL_TYPES = ("pose_resnet_dconv", "pose_resnet_duc", "pose_hrnet")
 
 
 def build_model(model_type: str, name: str = "resnet50", num_joints: int = 17,
-                reduction: bool = False, train: bool = False):
+                reduction: bool = False, train: bool = False, dtype=None):
+    """dtype: flax compute dtype (e.g. jnp.bfloat16 or the string
+    'bfloat16'); params stay float32 (mixed precision)."""
+    if isinstance(dtype, str):
+        import jax.numpy as jnp
+
+        dtype = jnp.dtype(dtype)
     if model_type == "pose_resnet_dconv":
-        return build_resnet(name, head="dconv", num_joints=num_joints, se=reduction, train=train)
+        return build_resnet(name, head="dconv", num_joints=num_joints, se=reduction, train=train,
+                            dtype=dtype)
     if model_type == "pose_resnet_duc":
-        return build_resnet(name, head="duc", num_joints=num_joints, se=reduction, train=train)
+        return build_resnet(name, head="duc", num_joints=num_joints, se=reduction, train=train,
+                            dtype=dtype)
     if model_type == "pose_hrnet":
-        return build_hrnet(name, num_joints=num_joints, train=train)
+        return build_hrnet(name, num_joints=num_joints, train=train, dtype=dtype)
     raise KeyError(f"unknown model type {model_type!r}; choose from {MODEL_TYPES} "
                    f"(resnet names: {sorted(RESNET_SPECS)})")
 
 
-def build_from_cfg(model_cfg: dict, train: bool = False):
+def build_from_cfg(model_cfg: dict, train: bool = False, dtype=None):
     return build_model(
         model_cfg["type"],
         name=model_cfg.get("name", "resnet50"),
         num_joints=model_cfg.get("num_joints", 17),
         reduction=model_cfg.get("reduction", False),
         train=train,
+        dtype=dtype,
     )

@@ -20,7 +20,7 @@ Input is NHWC [B, 256, 192, 3]; output heatmaps NHWC [B, 64, 48, J].
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 
@@ -46,22 +46,23 @@ class BasicBlock(nn.Module):
     use_downsample: bool = False
     se: bool = False
     train: bool = False
+    dtype: Any = None
 
     expansion = 1
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = conv3x3(self.planes, self.stride, name="conv1")(x)
-        out = batch_norm(self.train, name="bn1")(out)
+        out = conv3x3(self.planes, self.stride, name="conv1", dtype=self.dtype)(x)
+        out = batch_norm(self.train, name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = conv3x3(self.planes, name="conv2")(out)
-        out = batch_norm(self.train, name="bn2")(out)
+        out = conv3x3(self.planes, name="conv2", dtype=self.dtype)(out)
+        out = batch_norm(self.train, name="bn2", dtype=self.dtype)(out)
         if self.se:
-            out = SELayer(self.planes, name="se")(out)
+            out = SELayer(self.planes, name="se", dtype=self.dtype)(out)
         if self.use_downsample:
-            identity = conv1x1(self.planes, self.stride, name="downsample_conv")(x)
-            identity = batch_norm(self.train, name="downsample_bn")(identity)
+            identity = conv1x1(self.planes, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = batch_norm(self.train, name="downsample_bn", dtype=self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -73,6 +74,7 @@ class Bottleneck(nn.Module):
     train: bool = False
     groups: int = 1
     base_width: int = 64
+    dtype: Any = None
 
     expansion = 4
 
@@ -81,19 +83,19 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * self.expansion
         identity = x
-        out = conv1x1(width, name="conv1")(x)
-        out = batch_norm(self.train, name="bn1")(out)
+        out = conv1x1(width, name="conv1", dtype=self.dtype)(x)
+        out = batch_norm(self.train, name="bn1", dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = conv3x3(width, self.stride, groups=self.groups, name="conv2")(out)
-        out = batch_norm(self.train, name="bn2")(out)
+        out = conv3x3(width, self.stride, groups=self.groups, name="conv2", dtype=self.dtype)(out)
+        out = batch_norm(self.train, name="bn2", dtype=self.dtype)(out)
         out = nn.relu(out)
-        out = conv1x1(out_ch, name="conv3")(out)
-        out = batch_norm(self.train, name="bn3")(out)
+        out = conv1x1(out_ch, name="conv3", dtype=self.dtype)(out)
+        out = batch_norm(self.train, name="bn3", dtype=self.dtype)(out)
         if self.se:
-            out = SELayer(out_ch, name="se")(out)
+            out = SELayer(out_ch, name="se", dtype=self.dtype)(out)
         if self.use_downsample:
-            identity = conv1x1(out_ch, self.stride, name="downsample_conv")(x)
-            identity = batch_norm(self.train, name="downsample_bn")(identity)
+            identity = conv1x1(out_ch, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = batch_norm(self.train, name="downsample_bn", dtype=self.dtype)(identity)
         return nn.relu(out + identity)
 
 
@@ -112,14 +114,15 @@ class PoseResNet(nn.Module):
     width_per_group: int = 64
     se: bool = False
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         expansion = block_cls.expansion
 
-        x = conv(64, 7, stride=2, padding=3, name="conv1")(x)
-        x = batch_norm(self.train, name="bn1")(x)
+        x = conv(64, 7, stride=2, padding=3, name="conv1", dtype=self.dtype)(x)
+        x = batch_norm(self.train, name="bn1", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 
@@ -136,6 +139,7 @@ class PoseResNet(nn.Module):
                     use_downsample=use_ds,
                     se=self.se and use_ds,  # reference passes reduction only here
                     train=self.train,
+                    dtype=self.dtype,
                     name=f"layer{stage_idx}_{i}",
                 )
                 if block_cls is Bottleneck:
@@ -145,15 +149,17 @@ class PoseResNet(nn.Module):
 
         if self.head == "dconv":
             for i in range(3):
-                x = TorchConvTranspose(256, 4, 2, 1, name=f"deconv_{i}")(x)
-                x = batch_norm(self.train, name=f"deconv_bn_{i}")(x)
+                x = TorchConvTranspose(256, 4, 2, 1, name=f"deconv_{i}", dtype=self.dtype)(x)
+                x = batch_norm(self.train, name=f"deconv_bn_{i}", dtype=self.dtype)(x)
                 x = nn.relu(x)
-            x = conv(self.num_joints, 1, use_bias=True, kernel_init=HEAD_INIT, name="final_layer")(x)
+            x = conv(self.num_joints, 1, use_bias=True, kernel_init=HEAD_INIT, name="final_layer",
+                     dtype=self.dtype)(x)
         elif self.head == "duc":
             x = pixel_shuffle(x, 2)
-            x = DUC(1024, train=self.train, name="duc_1")(x)
-            x = DUC(512, train=self.train, name="duc_2")(x)
-            x = conv(self.num_joints, 3, padding=1, use_bias=True, kernel_init=HEAD_INIT, name="final_layer")(x)
+            x = DUC(1024, train=self.train, name="duc_1", dtype=self.dtype)(x)
+            x = DUC(512, train=self.train, name="duc_2", dtype=self.dtype)(x)
+            x = conv(self.num_joints, 3, padding=1, use_bias=True, kernel_init=HEAD_INIT,
+                     name="final_layer", dtype=self.dtype)(x)
         else:
             raise ValueError(f"unknown head {self.head!r}")
         return x
@@ -174,6 +180,8 @@ RESNET_SPECS = {
 }
 
 
-def build_resnet(name: str, head: str = "dconv", num_joints: int = 17, se: bool = False, train: bool = False):
+def build_resnet(name: str, head: str = "dconv", num_joints: int = 17, se: bool = False,
+                 train: bool = False, dtype=None):
     block, layers, extra = RESNET_SPECS[name]
-    return PoseResNet(block=block, layers=layers, head=head, num_joints=num_joints, se=se, train=train, **extra)
+    return PoseResNet(block=block, layers=layers, head=head, num_joints=num_joints, se=se,
+                      train=train, dtype=dtype, **extra)

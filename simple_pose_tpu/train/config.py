@@ -28,6 +28,15 @@ class DataConfig:
     debug: int = 0
     canvas: int = 640
     input_shape: Tuple[int, int] = (192, 256)  # (w, h) like the reference
+    # heatmap target encoding: 'unbiased' (RefineSimpleTransform,
+    # commons/transforms.py:167-191) or 'biased' (BasicSimpleTransform,
+    # commons/transforms.py:80-116)
+    encoding: str = "unbiased"
+    # canvas dedup: ship one canvas per source IMAGE instead of per crop
+    # (COCO averages ~2.3 instances/image -> ~2x less host decode + H2D).
+    # dedup_ratio = canvas slots / crops per batch; 0 disables.
+    dedup: bool = True
+    dedup_ratio: float = 0.5
 
 
 @dataclass
@@ -52,12 +61,21 @@ class OptimConfig:
     warm_up_epoch: int = 1
     ema: bool = True
     amp: bool = True  # bf16 compute on TPU (no GradScaler needed)
+    # 3-group optimizer (decayed kernels / biases / norm scales) with the
+    # reference's bias warmup ramp 0.1 -> lr (commons/optims_utils.py:8-32,
+    # 68-72); the reference wires this but ships with it commented out
+    # (dp_pose_resnet_solver.py:71-77), hence default False
+    split_groups: bool = False
 
 
 @dataclass
 class ValConfig:
     interval: int = 1
     weight_path: str = "weights"
+    # '' = model-type default (gauss_taylor for pose_hrnet, basic otherwise,
+    # matching dp_pose_hrnet_solver.py:91 vs dp_pose_resnet_solver.py:92);
+    # explicit: 'basic' | 'gauss_taylor'
+    decoder: str = ""
 
 
 @dataclass

@@ -41,7 +41,12 @@ def _cosine(current, total, gamma, alpha):
 
 
 def warmup_cosine_multistep_schedule(init_lr, epochs, milestones, steps_per_epoch,
-                                     warm_up_epoch=1, gamma=1.0, alpha=0.1):
+                                     warm_up_epoch=1, gamma=1.0, alpha=0.1,
+                                     warmup_start=0.0):
+    """warmup_start: warmup ramps from this ABSOLUTE lr to init_lr.  The
+    reference warms the bias param group from 0.1 and everything else from 0
+    (optims_utils.py:68-72: ``np.interp(it, [0, warm_up_iter], [0.1, lr])``);
+    pass warmup_start=0.1 for the bias-group variant."""
     milestones = sorted(milestones or [])
     last_epoch = epochs + 1 if milestones and milestones[-1] == epochs else epochs
     flags = np.unique(np.asarray([warm_up_epoch] + milestones + [last_epoch], dtype=np.int64))
@@ -55,7 +60,7 @@ def warmup_cosine_multistep_schedule(init_lr, epochs, milestones, steps_per_epoc
         up_lr = jnp.interp(
             current_iter.astype(jnp.float32),
             jnp.asarray([0.0, float(max(warm_up_iter, 1))]),
-            jnp.asarray([0.0, init_lr]),
+            jnp.asarray([warmup_start, init_lr]),
         )
         num_pow = jnp.sum(flags_j <= epoch) - 1
         num_pow_c = jnp.clip(num_pow, 0, len(flags) - 2)
@@ -72,7 +77,10 @@ def warmup_cosine_multistep_schedule(init_lr, epochs, milestones, steps_per_epoc
     return schedule
 
 
-def epoch_warmup_cosine_schedule(init_lr, epochs, steps_per_epoch, warm_up_epoch=1, gamma=1.0, alpha=0.1):
+def epoch_warmup_cosine_schedule(init_lr, epochs, steps_per_epoch, warm_up_epoch=1, gamma=1.0,
+                                 alpha=0.1, warmup_start=0.0):
+    """warmup_start: see warmup_cosine_multistep_schedule (0.1 for the
+    reference's bias group, optims_utils.py:113-117)."""
     warm_up_iter = warm_up_epoch * steps_per_epoch
 
     def schedule(step):
@@ -80,7 +88,7 @@ def epoch_warmup_cosine_schedule(init_lr, epochs, steps_per_epoch, warm_up_epoch
         up_lr = jnp.interp(
             step.astype(jnp.float32),
             jnp.asarray([0.0, float(max(warm_up_iter, 1))]),
-            jnp.asarray([0.0, init_lr]),
+            jnp.asarray([warmup_start, init_lr]),
         )
         cosine_ite = (epoch - warm_up_epoch + 1).astype(jnp.float32)
         cosine_all = float(max(epochs - warm_up_epoch, 1))

@@ -36,7 +36,7 @@ from simple_pose_tpu.metrics.acc import heatmap_accuracy
 from simple_pose_tpu.metrics.cocoeval import evaluate_map
 from simple_pose_tpu.models.registry import build_from_cfg
 from simple_pose_tpu.ops.decode import decode_basic, decode_gauss_taylor, instance_scores
-from simple_pose_tpu.ops.heatmap import encode_unbiased
+from simple_pose_tpu.ops.heatmap import encode_biased, encode_unbiased
 from simple_pose_tpu.ops.warp import affine_crop, affine_crop_mxu, affine_crop_separable
 from simple_pose_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from simple_pose_tpu.train import schedules as S
@@ -61,7 +61,8 @@ def _normalize(crops):
 
 
 def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), amp=False,
-                    crop_impl="auto", ema: bool = True):
+                    crop_impl="auto", ema: bool = True, encoding: str = "unbiased",
+                    mesh=None):
     """Build the jitted SPMD train step: (state, batch) -> (state, metrics).
 
     crop_impl: 'pallas' (fused VMEM kernel, fastest on TPU), 'mxu' (XLA
@@ -70,7 +71,16 @@ def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), 
     ema=False skips the moving average; the ema_* slots then track the raw
     weights, matching the reference's habit of storing the raw state under
     the checkpoint's "ema" key when ModelEMA is disabled
-    (dp_pose_resnet_solver.py:86,181)."""
+    (dp_pose_resnet_solver.py:86,181).
+    encoding: 'unbiased' (RefineSimpleTransform) or 'biased'
+    (BasicSimpleTransform, commons/transforms.py:80-116).  The pipeline
+    supplies joints in heatmap coordinates (already divided by the stride),
+    so the biased path snaps with stride=1.
+    mesh: required for canvas-dedup batches (a 'canvas_idx' key): the
+    pipeline packs crops and their source canvases into per-device buckets
+    with bucket-LOCAL slot indices, and the canvas gather runs inside
+    shard_map over the 'data' axis -- each device reads only its own canvas
+    shard, so dedup adds zero cross-device traffic."""
     if crop_impl == "auto":
         crop_impl = "pallas" if jax.default_backend() == "tpu" else "mxu"
     inter = int(np.ceil(np.hypot(*crop_shape))) + 8
@@ -83,19 +93,45 @@ def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), 
     else:
         crop_fn = lambda c, t: affine_crop(c, t, crop_shape)
 
+    if encoding == "unbiased":
+        encode_fn = lambda j: encode_unbiased(j, out_shape)
+    elif encoding == "biased":
+        encode_fn = lambda j: encode_biased(j, out_shape, stride=1)
+    else:
+        raise KeyError(encoding)
+
+    def make_crops(batch):
+        if "canvas_idx" not in batch:
+            return crop_fn(batch["canvas"], batch["trans"])
+        if mesh is None:
+            return crop_fn(batch["canvas"][batch["canvas_idx"]], batch["trans"])
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local_gather_crop(canvas, trans, idx):
+            return crop_fn(canvas[idx], trans)
+
+        return shard_map(
+            local_gather_crop, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")), out_specs=P("data"),
+            check_rep=False,
+        )(batch["canvas"], batch["trans"], batch["canvas_idx"])
+
     def train_step(state: TrainState, batch):
-        crops = crop_fn(batch["canvas"], batch["trans"])
+        crops = make_crops(batch)
         x = _normalize(crops)
-        targets, weights = encode_unbiased(batch["joints"], out_shape)
+        targets, weights = encode_fn(batch["joints"])
         mask = weights[..., None, None]
 
         if amp:
+            # mixed precision proper lives in the model (flax compute
+            # dtype=bfloat16, params float32); here we only cast the input
+            # so the first conv reads bf16 from HBM
             x = x.astype(jnp.bfloat16)
 
         def loss_fn(params):
-            p = jax.tree.map(lambda v: v.astype(jnp.bfloat16), params) if amp else params
             preds, updates = train_model.apply(
-                {"params": p, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": state.batch_stats},
                 x,
                 mutable=["batch_stats"],
             )
@@ -104,9 +140,6 @@ def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), 
             return loss, (preds, updates["batch_stats"])
 
         (loss, (preds, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        if amp:
-            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
-            new_stats = jax.tree.map(lambda v: v.astype(jnp.float32), new_stats)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         step = state.step + 1
@@ -165,8 +198,9 @@ class PoseSolver:
         cfgd = self.cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfgd.mesh)
 
-        self.train_model = build_from_cfg(vars(cfgd.model), train=True)
-        self.eval_model = build_from_cfg(vars(cfgd.model), train=False)
+        amp_dtype = jnp.bfloat16 if cfgd.optim.amp else None
+        self.train_model = build_from_cfg(vars(cfgd.model), train=True, dtype=amp_dtype)
+        self.eval_model = build_from_cfg(vars(cfgd.model), train=False, dtype=amp_dtype)
         in_w, in_h = cfgd.data.input_shape
         self.crop_shape = (in_h, in_w)
         self.out_shape = (in_h // 4, in_w // 4)
@@ -175,11 +209,21 @@ class PoseSolver:
         self.train_pipe = self.val_pipe = None
         if cfgd.data.train_ann_path:
             recs = load_coco_keypoints(cfgd.data.train_img_root, cfgd.data.train_ann_path, cfgd.data.debug)
+            # per-HOST buckets: batch_size is the per-host batch; each host
+            # packs its local slice of the data axis
+            n_data = int(self.mesh.shape.get("data", 1))
+            n_buckets = max(1, n_data // jax.process_count())
+            dedup_canvases = 0
+            if cfgd.data.dedup and cfgd.data.dedup_ratio > 0:
+                per_bucket = max(1, int(round(
+                    cfgd.data.batch_size * cfgd.data.dedup_ratio / n_buckets)))
+                dedup_canvases = per_bucket * n_buckets
             self.train_pipe = PosePipeline(
                 recs, cfgd.data.batch_size, input_shape=cfgd.data.input_shape,
                 output_shape=(in_w // 4, in_h // 4), canvas=cfgd.data.canvas,
                 augment=True, seed=cfgd.seed, num_threads=cfgd.data.num_workers,
                 process_index=jax.process_index(), process_count=jax.process_count(),
+                dedup_canvases=dedup_canvases, dedup_buckets=n_buckets,
             )
         if cfgd.data.val_ann_path:
             recs = load_coco_keypoints(cfgd.data.val_img_root, cfgd.data.val_ann_path, cfgd.data.debug)
@@ -194,8 +238,8 @@ class PoseSolver:
                 process_index=jax.process_index(), process_count=jax.process_count(),
             )
 
-        steps_per_epoch = self.train_pipe.batches_per_epoch() if self.train_pipe else 1000
-        self.schedule = self._build_schedule(steps_per_epoch)
+        self._steps_per_epoch = self.train_pipe.batches_per_epoch() if self.train_pipe else 1000
+        self.schedule = self._build_schedule(self._steps_per_epoch)
         self.tx = self._build_optimizer()
         self.state = None
         self.best_ap = 0.0
@@ -204,29 +248,48 @@ class PoseSolver:
 
     # -- construction ------------------------------------------------------
 
-    def _build_schedule(self, steps_per_epoch):
+    def _build_schedule(self, steps_per_epoch, warmup_start=0.0):
         o = self.cfg.optim
         if o.schedule == "multistep":
             return S.multistep_schedule(o.lr, o.milestones, o.gamma, steps_per_epoch)
         if o.schedule == "warmup_cosine_multistep":
             return S.warmup_cosine_multistep_schedule(
-                o.lr, o.epochs, o.milestones, steps_per_epoch, o.warm_up_epoch, alpha=o.gamma
+                o.lr, o.epochs, o.milestones, steps_per_epoch, o.warm_up_epoch, alpha=o.gamma,
+                warmup_start=warmup_start,
             )
         if o.schedule == "epoch_warmup_cosine":
-            return S.epoch_warmup_cosine_schedule(o.lr, o.epochs, steps_per_epoch, o.warm_up_epoch)
+            return S.epoch_warmup_cosine_schedule(
+                o.lr, o.epochs, steps_per_epoch, o.warm_up_epoch, warmup_start=warmup_start
+            )
         raise KeyError(self.cfg.optim.schedule)
 
     def _build_optimizer(self):
         o = self.cfg.optim
-        if o.optimizer.lower() == "adam":
-            tx = optax.adam(self.schedule)
-        elif o.optimizer.lower() == "sgd":
-            tx = optax.sgd(self.schedule, momentum=o.momentum)
-        else:
+
+        def base_tx(schedule):
+            if o.optimizer.lower() == "adam":
+                return optax.adam(schedule)
+            if o.optimizer.lower() == "sgd":
+                return optax.sgd(schedule, momentum=o.momentum)
             raise KeyError(o.optimizer)
+
+        if not o.split_groups:
+            tx = base_tx(self.schedule)
+            if o.weight_decay:
+                tx = optax.chain(optax.add_decayed_weights(o.weight_decay, mask=_decay_mask), tx)
+            return tx
+        # split_optimizer parity (commons/optims_utils.py:8-32): three param
+        # groups -- weight-decayed kernels / biases / norm scales -- where
+        # the bias group warms up from absolute lr 0.1 instead of 0
+        # (optims_utils.py:68-72).
+        decay_tx = base_tx(self.schedule)
         if o.weight_decay:
-            tx = optax.chain(optax.add_decayed_weights(o.weight_decay, mask=_decay_mask), tx)
-        return tx
+            decay_tx = optax.chain(optax.add_decayed_weights(o.weight_decay), decay_tx)
+        bias_tx = base_tx(self._build_schedule(self._steps_per_epoch, warmup_start=0.1))
+        return optax.multi_transform(
+            {"decay": decay_tx, "bias": bias_tx, "other": base_tx(self.schedule)},
+            _group_labels,
+        )
 
     def init_state(self, rng=None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
@@ -270,10 +333,13 @@ class PoseSolver:
     def _compile(self):
         if self._train_step is None:
             step_fn = make_train_step(self.train_model, self.tx, self.out_shape, self.crop_shape,
-                                      amp=self.cfg.optim.amp, ema=self.cfg.optim.ema)
+                                      amp=self.cfg.optim.amp, ema=self.cfg.optim.ema,
+                                      encoding=self.cfg.data.encoding, mesh=self.mesh)
             self._train_step = jax.jit(step_fn, donate_argnums=0)
         if self._val_step is None:
-            decoder = "gauss_taylor" if self.cfg.model.type == "pose_hrnet" else "basic"
+            decoder = self.cfg.val.decoder or (
+                "gauss_taylor" if self.cfg.model.type == "pose_hrnet" else "basic"
+            )
             self._val_step = jax.jit(make_val_step(self.eval_model, decoder, self.out_shape, self.crop_shape))
 
     # -- loops -------------------------------------------------------------
@@ -426,3 +492,17 @@ def _decay_mask(params):
     return jax.tree_util.tree_map_with_path(
         lambda path, _: path[-1].key == "kernel", params
     )
+
+
+def _group_labels(params):
+    """split_params grouping (commons/optims_utils.py:8-18): biases,
+    weight-decayed kernels, everything else (norm scales)."""
+    def label(path, _):
+        leaf = path[-1].key
+        if leaf == "bias":
+            return "bias"
+        if leaf == "kernel":
+            return "decay"
+        return "other"
+
+    return jax.tree_util.tree_map_with_path(label, params)

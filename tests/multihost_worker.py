@@ -1,0 +1,78 @@
+"""Worker process for the 2-process multi-host test (test_multihost.py).
+
+Each worker is one "host" with 4 virtual CPU devices; together they form the
+8-device global mesh.  This executes, for real, every process_count > 1
+branch the single-process suite can't reach: jax.distributed wiring
+(parallel/distributed.py), make_array_from_process_local_data
+(parallel/mesh.py shard_batch), per-host batch-count equalization
+(data/pipeline.py batches_per_epoch), and the validate() allgather
+(train/solver.py) -- the SPMD replacement for the reference DDP solver
+(ddp_pose_resnet_solver.py:33-48,144-168).
+
+Usage: python multihost_worker.py <pid> <nproc> <port> <img_root> <ann> <out_dir>
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+img_root, ann_path, out_dir = sys.argv[4:7]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+from simple_pose_tpu.parallel.distributed import host_info, init_multihost  # noqa: E402
+
+info = init_multihost(coordinator_address=f"localhost:{port}", num_processes=nproc,
+                      process_id=pid)
+assert info["process_count"] == nproc, info
+assert info["global_devices"] == 4 * nproc, info
+
+from simple_pose_tpu.train.config import load_config  # noqa: E402
+from simple_pose_tpu.train.solver import PoseSolver  # noqa: E402
+
+cfg = load_config({
+    "model_name": "mh_test",
+    "data": {
+        "train_ann_path": ann_path, "val_ann_path": ann_path,
+        "train_img_root": img_root, "val_img_root": img_root,
+        # per-host batch: the global batch is 4 * nproc = 8, matching the
+        # single-process baseline run in the parent test
+        "batch_size": 4, "num_workers": 2, "canvas": 192,
+        "input_shape": [64, 64],
+    },
+    "model": {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+    "optim": {"lr": 1e-3, "milestones": [2], "epochs": 1, "gamma": 0.1},
+    "val": {"interval": 1, "weight_path": os.path.join(out_dir, "w")},
+    "mesh": {"data": 4 * nproc},
+    "seed": 11,
+})
+
+solver = PoseSolver(cfg)
+solver.init_state()
+# val on the untrained (seed-deterministic) state: must equal the
+# single-process AP bit-for-bit up to float noise
+stats0 = solver.validate(0, results_path=os.path.join(out_dir, f"val_init_{pid}.json"))
+# one train epoch: executes the cross-host gradient/BN psum over "DCN"
+train_metrics = solver.train_epoch(0, log_every=0)
+stats1 = solver.validate(1, results_path=os.path.join(out_dir, f"val_after_{pid}.json"))
+
+with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as wf:
+    json.dump({
+        "host_info": host_info(),
+        "ap_init": stats0["AP"],
+        "train_loss": train_metrics["loss"],
+        "ap_after": stats1["AP"],
+        "steps": int(solver.state.step),
+    }, wf)
+print(f"worker {pid} done", flush=True)

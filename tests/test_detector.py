@@ -218,3 +218,138 @@ def test_yolov4_forward():
     n = (16**2 + 8**2 + 4**2) * 3
     assert out.shape == (1, n, 85)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# --------------------------------------------- YOLOv4 blocks: torch oracles
+class TMishCBR(tnn.Module):
+    def __init__(self, cin, cout, k=1, s=1):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, s, (k - 1) // 2, bias=False)
+        self.bn = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return tnn.functional.mish(self.bn(self.conv(x)))
+
+
+class TMishBottleNeck(tnn.Module):
+    def __init__(self, c, shortcut=False):
+        super().__init__()
+        self.conv1 = TMishCBR(c, c, 1)
+        self.conv2 = TMishCBR(c, c, 3)
+        self.add = shortcut
+
+    def forward(self, x):
+        out = self.conv2(self.conv1(x))
+        return x + out if self.add else out
+
+
+class TSPPCSP(tnn.Module):
+    """detector/nets/commons.py:140-162 with Mish (yolov4.py wiring)."""
+
+    def __init__(self, cin, cout, k=(5, 9, 13)):
+        super().__init__()
+        inner = int(2 * cout * 0.5)
+        self.conv2 = tnn.Conv2d(cin, inner, 1, 1, bias=False)
+        self.conv1_start_0 = TMishCBR(cin, inner, 1)
+        self.conv1_start_1 = TMishCBR(inner, inner, 3)
+        self.conv1_start_2 = TMishCBR(inner, inner, 1)
+        self.pools = tnn.ModuleList([tnn.MaxPool2d(x, 1, x // 2) for x in k])
+        self.conv1_end_0 = TMishCBR(4 * inner, inner, 1)
+        self.conv1_end_1 = TMishCBR(inner, inner, 3)
+        self.bn = tnn.BatchNorm2d(2 * inner)
+        self.conv3 = TMishCBR(2 * inner, cout, 1)
+
+    def forward(self, x):
+        x1 = self.conv1_start_2(self.conv1_start_1(self.conv1_start_0(x)))
+        y1 = torch.cat([x1] + [m(x1) for m in self.pools], dim=1)
+        y1 = self.conv1_end_1(self.conv1_end_0(y1))
+        y2 = self.conv2(x)
+        return self.conv3(tnn.functional.mish(self.bn(torch.cat([y1, y2], dim=1))))
+
+
+class TBottleNeckCSP2(tnn.Module):
+    """detector/nets/commons.py:102-120 with Mish, expansion=1.0
+    (yolov4.py neck wiring)."""
+
+    def __init__(self, cin, cout, blocks=1):
+        super().__init__()
+        inner = int(cout * 1.0)
+        self.conv0 = TMishCBR(cin, inner, 1)
+        self.conv2 = tnn.Conv2d(inner, inner, 1, 1, bias=False)
+        self.conv1 = tnn.Sequential(*[TMishBottleNeck(inner, False) for _ in range(blocks)])
+        self.bn = tnn.BatchNorm2d(2 * inner)
+        self.conv3 = TMishCBR(2 * inner, cout, 1)
+
+    def forward(self, x):
+        x1 = self.conv0(x)
+        y1 = self.conv1(x1)
+        y2 = self.conv2(x1)
+        return self.conv3(tnn.functional.mish(self.bn(torch.cat([y1, y2], dim=1))))
+
+
+def test_sppcsp_mish_parity_via_generic_converter():
+    """Golden-activation test of the YOLOv4-specific SPPCSP block."""
+    from simple_pose_tpu.detector.blocks import SPPCSP
+
+    torch.manual_seed(5)
+    t = TSPPCSP(16, 8)
+    _randomize_bn(t)
+    t.eval()
+    x = np.random.default_rng(5).normal(size=(2, 16, 16, 16)).astype(np.float32)
+    converted, _ = convert_torch_state_generic(t.state_dict())
+    f = SPPCSP(8, act=mish)
+    variables = f.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    merged, missing, unexpected = merge_converted(variables, converted)
+    assert not missing and not unexpected, (missing[:4], unexpected[:4])
+    got = np.asarray(f.apply(merged, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = _to_nhwc(t(_nchw(x)))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_csp2_mish_parity_via_generic_converter():
+    """Golden-activation test of the YOLOv4 neck's BottleNeckCSP2."""
+    from simple_pose_tpu.detector.blocks import BottleNeckCSP2
+
+    torch.manual_seed(6)
+    t = TBottleNeckCSP2(12, 8, blocks=2)
+    _randomize_bn(t)
+    t.eval()
+    x = np.random.default_rng(6).normal(size=(2, 8, 8, 12)).astype(np.float32)
+    converted, _ = convert_torch_state_generic(t.state_dict())
+    f = BottleNeckCSP2(8, blocks=2, act=mish, expansion=1.0)
+    variables = f.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    merged, missing, unexpected = merge_converted(variables, converted)
+    assert not missing and not unexpected, (missing[:4], unexpected[:4])
+    got = np.asarray(f.apply(merged, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = _to_nhwc(t(_nchw(x)))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_yolov4_detector_end_to_end_smoke():
+    """model_family='yolov4' runs the full detect wrapper (letterbox -> v4
+    forward -> NMS -> unletterbox)."""
+    det = YOLOv5Detector(weights_path=None, scale_name="s", scale_size=(256, 256),
+                         conf_thresh=0.01, canvas=512, model_family="yolov4")
+    img = np.random.default_rng(7).integers(0, 255, size=(300, 400, 3), dtype=np.uint8)
+    boxes = det.single_predict(img)
+    assert boxes.ndim == 2 and boxes.shape[1] == 6
+    if len(boxes):
+        assert boxes[:, 0].min() >= -1e-3 and boxes[:, 2].max() <= 400 + 1e-3
+
+
+def test_yolov4_person_head_slice_equivalence():
+    """The conversion-time person slicing works on the v4 head too (same
+    YOLOHead module)."""
+    from simple_pose_tpu.detector.yolov4 import YOLOv4
+
+    m80 = YOLOv4(num_cls=80, scale_name="s")
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(1, 128, 128, 3)).astype(np.float32))
+    v80 = m80.init(jax.random.PRNGKey(1), x)
+    full = np.asarray(m80.apply(v80, x))
+    v1 = slice_person_head(jax.tree.map(np.asarray, v80), num_cls=80, slice_idx=0)
+    m1 = YOLOv4(num_cls=1, scale_name="s")
+    sliced = np.asarray(m1.apply(v1, x))
+    np.testing.assert_allclose(sliced[..., :5], full[..., :5], atol=1e-5)
+    np.testing.assert_allclose(sliced[..., 5], full[..., 5], atol=1e-5)

@@ -104,3 +104,51 @@ def test_flip_test_evaluator_consistency(synth):
     out1 = ev1(batch)
     assert np.asarray(out1["kps"]).shape == np.asarray(out0["kps"]).shape
     assert np.all(np.isfinite(np.asarray(out1["kps"])))
+
+
+def test_reproduce_runbook_commands(synth, tmp_path, monkeypatch):
+    """The exact CLI command paths from scripts/reproduce.md run end to end
+    on the synthetic set (so the AP-parity recipes can't rot)."""
+    import sys
+
+    import eval as eval_cli
+
+    img_root, ann_path, gt = synth
+
+    # row 1-5 shape: `python eval.py gt ...` (the quickest parity probe)
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "gt", "--img-root", img_root, "--ann", ann_path,
+        "--model-type", "pose_resnet_dconv", "--model-name", "resnet18",
+        "--batch-size", "4", "--out", str(tmp_path / "gt_cli.json"),
+    ])
+    eval_cli.main()
+    assert len(json.load(open(tmp_path / "gt_cli.json"))) == 6
+
+    # `python eval.py detections --dets ...` (BASELINE rows 1-5)
+    dets = [{"image_id": a["image_id"], "category_id": 1, "bbox": a["bbox"], "score": 0.9}
+            for a in gt["annotations"]]
+    det_path = tmp_path / "dets_cli.json"
+    det_path.write_text(json.dumps(dets))
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "detections", "--img-root", img_root, "--ann", ann_path,
+        "--dets", str(det_path), "--model-type", "pose_resnet_dconv",
+        "--model-name", "resnet18", "--batch-size", "4",
+        "--out", str(tmp_path / "pred_cli.json"),
+    ])
+    eval_cli.main()
+
+    # `python eval.py rescore --preds ...` (the temp_read_in_and_filter chain)
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "rescore", "--preds", str(tmp_path / "pred_cli.json"),
+        "--ann", ann_path,
+    ])
+    eval_cli.main()
+
+    # `python eval.py gen-dets ...` (row 6, first half) with a tiny detector
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "gen-dets", "--img-root", img_root, "--ann", ann_path,
+        "--scale-name", "s", "--canvas", "256", "--batch-size", "2",
+        "--debug", "2", "--out", str(tmp_path / "gen_cli.json"),
+    ])
+    eval_cli.main()
+    assert (tmp_path / "gen_cli.json").exists()

@@ -38,6 +38,23 @@ def test_multi_crop_matches_flat_separable():
             np.testing.assert_allclose(multi[b, p], flat, atol=1e-3)
 
 
+def test_fused_program_with_yolov4():
+    """detector_family='yolov4' drives detect->crop->pose end to end."""
+    from simple_pose_tpu.evalkit.fused import FusedDetectPose
+
+    fused = FusedDetectPose(
+        {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        detector_weights=None, scale_name="s", det_size=(256, 256),
+        input_shape=(64, 64), max_people=4, det_conf=0.001, canvas=256,
+        detector_family="yolov4",
+    )
+    rng = np.random.default_rng(3)
+    canvases = rng.integers(0, 255, size=(1, 256, 256, 3), dtype=np.uint8)
+    out = fused(canvases, [(200, 256)])
+    assert out["kps"].shape == (1, 4, 17, 2)
+    assert np.all(np.isfinite(out["kps"]))
+
+
 def test_fused_program_end_to_end():
     from simple_pose_tpu.evalkit.fused import FusedDetectPose
 

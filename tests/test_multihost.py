@@ -1,0 +1,107 @@
+"""Two-process multi-host execution on CPU (the DDP-equivalence test).
+
+Spawns 2 real processes with 4 virtual CPU devices each, wired through
+jax.distributed (gloo collectives) -- a faithful miniature of a 2-host TPU
+pod over DCN.  Asserts the sharded validate + allgather path reproduces the
+single-process AP exactly, and that the cross-host train step runs.
+
+Replaces what the reference never tested: its DDP solver
+(ddp_pose_resnet_solver.py) had no multi-process test at all (SURVEY.md
+section 4: "Multi-node/distributed testing: none").
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+cv = pytest.importorskip("cv2")
+
+from simple_pose_tpu.train.config import load_config
+from simple_pose_tpu.train.solver import PoseSolver
+from tests.util_synth import make_synth_coco
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_multihost_matches_single_process(tmp_path):
+    img_root, ann_path, _ = make_synth_coco(str(tmp_path / "coco"), num_images=16)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # -- single-process baseline AP on the untrained seed-11 state ---------
+    cfg = load_config({
+        "model_name": "mh_baseline",
+        "data": {
+            "train_ann_path": ann_path, "val_ann_path": ann_path,
+            "train_img_root": img_root, "val_img_root": img_root,
+            "batch_size": 8, "num_workers": 2, "canvas": 192,
+            "input_shape": [64, 64],
+        },
+        "model": {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        "optim": {"lr": 1e-3, "milestones": [2], "epochs": 1, "gamma": 0.1},
+        "val": {"interval": 1, "weight_path": str(tmp_path / "w")},
+        "mesh": {"data": 8},
+        "seed": 11,
+    })
+    solver = PoseSolver(cfg)
+    solver.init_state()
+    ap_single = solver.validate(0, results_path=str(tmp_path / "val_single.json"))["AP"]
+
+    # -- 2 workers, 4 virtual devices each ---------------------------------
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), img_root, ann_path, out_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outputs = [p.communicate(timeout=1500)[0] for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = []
+    for pid in range(2):
+        with open(os.path.join(out_dir, f"worker_{pid}.json")) as rf:
+            results.append(json.load(rf))
+
+    for r in results:
+        assert r["host_info"]["process_count"] == 2
+        assert r["host_info"]["global_devices"] == 8
+        assert np.isfinite(r["train_loss"]) and r["train_loss"] > 0
+        assert r["steps"] == 2  # 16 records / 2 hosts / per-host batch 4
+
+    # every host computed the FULL result list via the allgather, so both
+    # report the same AP -- and it matches the single-process run
+    assert results[0]["ap_init"] == pytest.approx(results[1]["ap_init"], abs=1e-9)
+    assert results[0]["ap_init"] == pytest.approx(ap_single, abs=1e-6)
+    # post-train AP also agrees across hosts (same global model update)
+    assert results[0]["ap_after"] == pytest.approx(results[1]["ap_after"], abs=1e-9)
+
+    # the gathered result files must cover every record once per host, and
+    # the decoded keypoints/scores must match the single-process run
+    # numerically (same seed-11 init params, per-record decode)
+    with open(os.path.join(out_dir, "val_init_0.json")) as rf:
+        res0 = json.load(rf)
+    with open(os.path.join(tmp_path / "val_single.json")) as rf:
+        res_s = json.load(rf)
+    assert len(res0) == len(res_s)
+    by_img_mh = {r["image_id"]: r for r in res0}
+    by_img_s = {r["image_id"]: r for r in res_s}
+    assert sorted(by_img_mh) == sorted(by_img_s)
+    for img_id, r_s in by_img_s.items():
+        r_mh = by_img_mh[img_id]
+        np.testing.assert_allclose(r_mh["keypoints"], r_s["keypoints"], atol=1e-2,
+                                   err_msg=f"image {img_id}")
+        assert r_mh["score"] == pytest.approx(r_s["score"], abs=1e-3)

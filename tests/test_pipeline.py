@@ -108,3 +108,88 @@ def test_augmented_joints_match_crop_geometry(synth):
             continue
         patch = crops[k, max(0, int(jy) - 3):int(jy) + 4, max(0, int(jx) - 3):int(jx) + 4]
         assert patch.max() > 180, f"marker not found at joint for sample {k}"
+
+
+# ------------------------------------------------------------- canvas dedup
+def test_dedup_packing_invariants():
+    """Canvas-dedup batches: bucket-local slot indices, canvases hold the
+    crop's true source image, geometry identical to the per-crop pipeline
+    (same (seed, epoch, ridx) rng), each instance used at most once."""
+    from simple_pose_tpu.data.coco import load_coco_keypoints
+    from simple_pose_tpu.data.pipeline import PosePipeline, _imread_rgb
+
+    root = "/tmp/dedup_pack_coco"
+    img_root, ann_path, _ = make_synth_coco(root, num_images=6, people_per_image=3, seed=4)
+    recs = load_coco_keypoints(img_root, ann_path)
+    assert len(recs) == 18
+    buckets, bs, U = 4, 8, 4
+    pipe = PosePipeline(recs, bs, input_shape=(64, 64), output_shape=(16, 16),
+                        canvas=192, augment=True, seed=7, num_threads=2,
+                        dedup_canvases=U, dedup_buckets=buckets)
+    cap_canv = U // buckets
+    cap_crops = bs // buckets
+    seen = []
+    for batch in pipe.epoch(0):
+        assert batch["canvas"].shape == (U, 192, 192, 3)
+        assert batch["canvas_idx"].max() < cap_canv
+        for k in range(bs):
+            if batch["valid"][k] < 0.5:
+                continue
+            b = k // cap_crops  # bucket of this crop slot
+            slot = b * cap_canv + batch["canvas_idx"][k]
+            img_id = int(batch["img_id"][k])
+            rec = next(r for r in recs if r.img_id == img_id)
+            img = _imread_rgb(rec.img_path)
+            h, w = img.shape[:2]
+            np.testing.assert_array_equal(batch["canvas"][slot, :h, :w], img)
+            # geometry reproduces the per-crop pipeline's seeded transform
+            ridx_cands = [i for i, r in enumerate(recs) if r.img_id == img_id]
+            matched = False
+            for ridx in ridx_cands:
+                rng = np.random.default_rng((7, 0, ridx))
+                t, j, ti = pipe.transform(recs[ridx], rng, True)
+                if np.allclose(t, batch["trans"][k]) and np.allclose(j, batch["joints"][k]):
+                    matched = True
+                    seen.append(ridx)
+                    break
+            assert matched, f"crop {k} geometry matches no record of image {img_id}"
+    assert len(seen) == len(set(seen)), "an instance was packed twice"
+    # drop_last may discard less than one batch worth of instances
+    assert len(seen) > len(recs) - bs
+
+
+def test_dedup_train_step_matches_pregathered(tmp_path):
+    """make_train_step(mesh=None) with canvas_idx == the plain step on the
+    pre-gathered canvases (single-bucket semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from simple_pose_tpu.models import build_model
+    from simple_pose_tpu.train.schedules import multistep_schedule
+    from simple_pose_tpu.train.solver import TrainState, make_train_step
+
+    rng = np.random.default_rng(5)
+    model = build_model("pose_resnet_dconv", "resnet18", train=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    tx = optax.adam(multistep_schedule(1e-3, [10], 0.1, 10))
+
+    def fresh_state():
+        return TrainState(
+            params=variables["params"], batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            ema_params=variables["params"], ema_batch_stats=variables["batch_stats"],
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    canvases = rng.integers(0, 255, (4, 96, 96, 3), dtype=np.uint8)
+    idx = np.array([0, 0, 1, 2, 2, 2, 3, 1], np.int32)
+    trans = np.tile(np.array([[0.6, 0.1, 4], [-0.1, 0.6, 4]], np.float32), (8, 1, 1))
+    joints = np.concatenate(
+        [rng.uniform(2, 14, (8, 17, 2)).astype(np.float32), np.ones((8, 17, 1), np.float32)], -1)
+    base = {"joints": joints, "trans": trans,
+            "trans_inv": np.tile(np.array([[2.0, 0, 0], [0, 2.0, 0]], np.float32), (8, 1, 1))}
+    step = jax.jit(make_train_step(model, tx, (16, 16), (64, 64), crop_impl="mxu"))
+    _, m_plain = step(fresh_state(), {**base, "canvas": canvases[idx]})
+    _, m_dedup = step(fresh_state(), {**base, "canvas": canvases, "canvas_idx": idx})
+    np.testing.assert_allclose(float(m_plain["loss"]), float(m_dedup["loss"]), rtol=1e-6)

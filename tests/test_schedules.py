@@ -58,6 +58,26 @@ def test_warmup_cosine_multistep_matches_oracle():
             assert abs(got - ref) < 1e-6, (epoch, ite, got, ref)
 
 
+def test_bias_warmup_ramp_matches_oracle():
+    """The bias group warms from ABSOLUTE lr 0.1 (optims_utils.py:68-72:
+    down_lr = interp(it, [0, warm_up_iter], [0.1, lr])); outside warmup both
+    groups are identical."""
+    spe = 7
+    epochs, milestones = 10, [4, 7]
+    up = S.warmup_cosine_multistep_schedule(0.01, epochs, milestones, spe, warm_up_epoch=1)
+    down = S.warmup_cosine_multistep_schedule(0.01, epochs, milestones, spe, warm_up_epoch=1,
+                                              warmup_start=0.1)
+    for epoch in range(epochs):
+        for ite in range(spe):
+            step = epoch * spe + ite
+            got = float(down(jnp.asarray(step)))
+            if epoch < 1:
+                ref = float(np.interp(step, [0, spe], [0.1, 0.01]))
+                assert abs(got - ref) < 1e-6, (epoch, ite, got, ref)
+            else:
+                assert abs(got - float(up(jnp.asarray(step)))) < 1e-7
+
+
 def test_ema_ramp():
     assert float(ema_decay(jnp.asarray(0.0))) == 0.0
     d1 = float(ema_decay(jnp.asarray(1.0)))

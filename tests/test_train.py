@@ -100,6 +100,34 @@ def test_sgd_weight_decay_and_warmup_schedule(solver_env):
     assert np.isfinite(m["loss"])
 
 
+def test_biased_encoding_and_decoder_override(solver_env):
+    """data.encoding: biased (BasicSimpleTransform path) + val.decoder
+    override train/validate end to end."""
+    img_root, ann_path, root = solver_env
+    cfg = _cfg(img_root, ann_path, root)
+    cfg.data.encoding = "biased"
+    cfg.val.decoder = "gauss_taylor"
+    solver = PoseSolver(cfg)
+    solver.init_state()
+    m = solver.train_epoch(0, log_every=0)
+    assert np.isfinite(m["loss"]) and m["loss"] > 0
+    stats = solver.validate(0, results_path=str(root / "res_biased.json"))
+    assert "AP" in stats
+
+
+def test_split_groups_optimizer(solver_env):
+    """3-group multi_transform optimizer (split_optimizer parity) with the
+    bias warmup ramp trains and produces distinct group treatment."""
+    img_root, ann_path, root = solver_env
+    cfg = _cfg(img_root, ann_path, root,
+               split_groups=True, weight_decay=1e-4,
+               schedule="warmup_cosine_multistep", warm_up_epoch=1)
+    solver = PoseSolver(cfg)
+    solver.init_state()
+    m = solver.train_epoch(0, log_every=0)
+    assert np.isfinite(m["loss"])
+
+
 def test_gather_crop_impl_matches_reference_path(solver_env):
     """The exact-parity gather crop stays wired through the solver."""
     from simple_pose_tpu.train.solver import make_train_step
