@@ -222,6 +222,13 @@ class PosePipeline:
     def _geometry(self, rec: PoseRecord, rng: np.random.Generator):
         return self.transform(rec, rng, self.augment)
 
+    # per-record scalar extras added to dedup batches (DetBoxPipeline:
+    # area/score); keys must be listed in ``extra_keys``
+    extra_keys: tuple = ()
+
+    def _extra_fields(self, ridx: int) -> dict:
+        return {}
+
     # -- canvas dedup packing ------------------------------------------------
 
     def _pack_epoch(self, epoch: int, process_index: Optional[int] = None):
@@ -313,6 +320,7 @@ class PosePipeline:
             trans_inv = np.zeros((bs, 2, 3), dtype=np.float32)
             img_ids = np.zeros((bs,), dtype=np.int64)
             valid = np.zeros((bs,), dtype=np.float32)
+            extras = {key: np.zeros((bs,), dtype=np.float32) for key in self.extra_keys}
             k = 0
             for b, (canv, crops) in enumerate(plan):
                 paths_native = self._native is not None and all(
@@ -335,6 +343,8 @@ class PosePipeline:
                         trans[k], joints[k], trans_inv[k] = self._geometry(rec, rng)
                         img_ids[k] = rec.img_id
                         valid[k] = 1.0
+                        for key, val in self._extra_fields(ridx).items():
+                            extras[key][k] = val
                     else:  # padded slot: identity-ish crop, zero joints
                         trans[k] = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
                         trans_inv[k] = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
@@ -342,7 +352,7 @@ class PosePipeline:
             return {
                 "canvas": canvases, "canvas_idx": canvas_idx, "trans": trans,
                 "joints": joints, "trans_inv": trans_inv, "img_id": img_ids,
-                "valid": valid,
+                "valid": valid, **extras,
             }
 
         return iter(_Prefetcher(make_batch, nb, self.num_threads, self.prefetch))
@@ -413,6 +423,8 @@ class DetBoxPipeline(PosePipeline):
         super().__init__(pose_records, batch_size, **kw)
         self.det_records = list(records)
 
+    extra_keys = ("area", "score")
+
     def _geometry(self, rec: PoseRecord, rng):
         x1, y1, x2, y2 = rec.box
         center, scale = A.box_to_center_scale(x1, y1, x2 - x1, y2 - y1, self.transform.w_h_ratio)
@@ -421,7 +433,18 @@ class DetBoxPipeline(PosePipeline):
         joints = np.zeros((self.num_joints, 3), dtype=np.float32)
         return trans.astype(np.float32), joints, np.asarray(trans_inv, np.float32)
 
+    def _extra_fields(self, ridx: int) -> dict:
+        r = self.det_records[int(ridx)]
+        x1, y1, x2, y2 = r.box
+        _, scale = A.box_to_center_scale(x1, y1, x2 - x1, y2 - y1, self.transform.w_h_ratio)
+        return {"area": scale[0] * scale[1], "score": r.score}
+
     def epoch(self, epoch: int = 0):
+        if self.dedup_canvases:  # extras flow through _extra_fields instead
+            return self._dedup_epoch(epoch)
+        return self._detbox_epoch(epoch)
+
+    def _detbox_epoch(self, epoch: int):
         # mirror the parent's batching of the per-host epoch order exactly so
         # area/score stay aligned with the crops under sharding or shuffling
         order = self._epoch_order(epoch)

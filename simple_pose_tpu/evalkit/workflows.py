@@ -123,7 +123,10 @@ class PoseEvaluator:
         flip_perm = jnp.asarray(_flip_perm(self.num_joints))
 
         def step(variables, batch):
-            crops = affine_crop_separable(batch["canvas"], batch["trans"], self.crop_shape)
+            canvases = batch["canvas"]
+            if "canvas_idx" in batch:  # dedup'd batch: one canvas per image
+                canvases = canvases[batch["canvas_idx"]]
+            crops = affine_crop_separable(canvases, batch["trans"], self.crop_shape)
             x = crops / 255.0 - RGB_MEAN
             heat = self.model.apply(variables, x).transpose(0, 3, 1, 2).astype(jnp.float32)
             if flip_test:
@@ -144,12 +147,13 @@ class PoseEvaluator:
 
 def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                    input_shape=(192, 256), decoder="gauss_taylor", flip_test=False,
-                   out_path="test_gt_kpt.json", canvas=640, debug=0):
+                   out_path="test_gt_kpt.json", canvas=640, debug=0, dedup=True):
     """GT-box eval (eval.py:30-66).  Returns the stats dict."""
     records = load_coco_keypoints(img_root, ann_path, debug=debug)
     pipe = PosePipeline(records, batch_size, input_shape=input_shape,
                         output_shape=(input_shape[0] // 4, input_shape[1] // 4),
-                        canvas=canvas, augment=False, shuffle=False, drop_last=False)
+                        canvas=canvas, augment=False, shuffle=False, drop_last=False,
+                        dedup_canvases=(batch_size // 2) if dedup else 0)
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test)
     results = []
     for batch in pipe.epoch(0):
@@ -167,14 +171,15 @@ def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
 def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weights=None,
                            batch_size=32, input_shape=(192, 256), decoder="gauss_taylor",
                            flip_test=False, out_path="predicts_kps_temp.json", canvas=640,
-                           in_vis_thre=0.2, oks_thre=0.9, debug=0):
+                           in_vis_thre=0.2, oks_thre=0.9, debug=0, dedup=True):
     """Detector-box eval + OKS-NMS rescoring (eval.py:101-150 + 153-197).
 
     Returns the stats dict of the rescored/filtered predictions."""
     records = load_detection_boxes(img_root, det_json_path, debug=debug)
     pipe = DetBoxPipeline(records, batch_size, input_shape=input_shape,
                           output_shape=(input_shape[0] // 4, input_shape[1] // 4),
-                          canvas=canvas)
+                          canvas=canvas,
+                          dedup_canvases=(batch_size // 2) if dedup else 0)
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test)
     predictions = []
     for batch in pipe.epoch(0):

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "device_prefetch"]
 
 
 def make_mesh(mesh_spec: Optional[dict] = None, devices=None) -> Mesh:
@@ -56,3 +56,19 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
             k: jax.make_array_from_process_local_data(sharding, v) for k, v in batch.items()
         }
     return jax.device_put(batch, sharding)
+
+
+def device_prefetch(batches, mesh: Mesh, depth: int = 2, axis: str = "data"):
+    """Double-buffered host->device staging: keep ``depth`` batches in
+    flight so the (asynchronous) device_put transfer of batch i+1 overlaps
+    the device step consuming batch i -- the replacement for the
+    DataLoader's pin_memory + non_blocking copy idiom."""
+    from collections import deque
+
+    buf = deque()
+    for b in batches:
+        buf.append(shard_batch(b, mesh, axis))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -19,6 +19,11 @@ def ema_decay(updates, base_decay=0.9999):
 
 
 def ema_update(ema_tree, new_tree, updates, base_decay=0.9999):
-    """:param updates: the post-increment update counter (float or int)."""
+    """:param updates: the post-increment update counter (float or int).
+
+    Deliberately per-leaf: inside the fused train step XLA schedules the
+    per-tensor lerps at ~zero overhead, and a raveled-vector variant
+    measured 4.5% SLOWER end to end (the ravel/unravel copies are real,
+    the "kernel launches" are not -- scripts/probe_deconv.py round 2)."""
     d = ema_decay(jnp.asarray(updates, jnp.float32), base_decay)
     return jax.tree.map(lambda e, n: d * e + (1.0 - d) * n.astype(e.dtype), ema_tree, new_tree)

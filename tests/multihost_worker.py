@@ -30,6 +30,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
+# shared persistent compile cache: reruns skip the per-worker compiles, which
+# shrinks cross-worker skew at the first collective (1-core box)
+jax.config.update("jax_compilation_cache_dir", "/tmp/simple_pose_tpu_mh_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from simple_pose_tpu.parallel.distributed import host_info, init_multihost  # noqa: E402
 
