@@ -50,17 +50,18 @@ def main():
     crop_shape, out_shape = ((256, 192), (64, 48)) if on_tpu else ((64, 64), (16, 16))
     steps = int(os.environ.get("BENCH_STEPS", 20 if on_tpu else 2))
     model_name = os.environ.get("BENCH_MODEL", "")  # e.g. "pose_hrnet:w32"
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
 
     mesh = make_mesh({"data": n_dev})
     dtype = "bfloat16" if on_tpu else None  # mixed precision: f32 params, bf16 compute
     if model_name:
         mtype, mname = model_name.split(":")
-        model = build_model(mtype, mname, num_joints=17, train=True, dtype=dtype)
+        model = build_model(mtype, mname, num_joints=17, train=True, dtype=dtype, remat=remat)
         metric_model = f"{mtype}_{mname}"
     else:
         model = build_model(
             "pose_resnet_dconv", "resnet50" if on_tpu else "resnet18",
-            num_joints=17, reduction=True, train=True, dtype=dtype,
+            num_joints=17, reduction=True, train=True, dtype=dtype, remat=remat,
         )
         metric_model = "resnet50dconv"
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1,) + crop_shape + (3,), jnp.float32))

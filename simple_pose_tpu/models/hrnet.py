@@ -56,10 +56,13 @@ class PoseHRNet(nn.Module):
     num_joints: int = 17
     train: bool = False
     dtype: Any = None
+    remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
 
     def _branch(self, x, stage: str, module: int, branch: int, block_name: str,
                 num_blocks: int, channels: int, in_channels: int):
         block_cls = _BLOCKS[block_name]
+        if self.remat:
+            block_cls = nn.remat(block_cls)
         exp = block_cls.expansion
         for i in range(num_blocks):
             use_ds = i == 0 and in_channels != channels * exp
@@ -167,7 +170,8 @@ class PoseHRNet(nn.Module):
                     kernel_init=HEAD_INIT, name="final_layer", dtype=self.dtype)(ys[0])
 
 
-def build_hrnet(cfg="w32", num_joints: int = 17, train: bool = False, dtype=None):
+def build_hrnet(cfg="w32", num_joints: int = 17, train: bool = False, dtype=None,
+                remat: bool = False):
     """cfg: 'w32' | 'w48' | a dict (EXTRA schema) | a YAML path with
     MODEL.EXTRA (the reference nets/hrnet_w32.yaml layout)."""
     if cfg == "w32":
@@ -178,4 +182,4 @@ def build_hrnet(cfg="w32", num_joints: int = 17, train: bool = False, dtype=None
         with open(cfg) as rf:
             raw = yaml.safe_load(rf)
         cfg = raw["MODEL"]["EXTRA"] if "MODEL" in raw else raw
-    return PoseHRNet(cfg=cfg, num_joints=num_joints, train=train, dtype=dtype)
+    return PoseHRNet(cfg=cfg, num_joints=num_joints, train=train, dtype=dtype, remat=remat)

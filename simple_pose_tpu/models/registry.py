@@ -21,21 +21,23 @@ MODEL_TYPES = ("pose_resnet_dconv", "pose_resnet_duc", "pose_hrnet")
 
 
 def build_model(model_type: str, name: str = "resnet50", num_joints: int = 17,
-                reduction: bool = False, train: bool = False, dtype=None):
+                reduction: bool = False, train: bool = False, dtype=None,
+                remat: bool = False):
     """dtype: flax compute dtype (e.g. jnp.bfloat16 or the string
-    'bfloat16'); params stay float32 (mixed precision)."""
+    'bfloat16'); params stay float32 (mixed precision).
+    remat: jax.checkpoint each residual block (memory for FLOPs)."""
     if isinstance(dtype, str):
         import jax.numpy as jnp
 
         dtype = jnp.dtype(dtype)
     if model_type == "pose_resnet_dconv":
         return build_resnet(name, head="dconv", num_joints=num_joints, se=reduction, train=train,
-                            dtype=dtype)
+                            dtype=dtype, remat=remat)
     if model_type == "pose_resnet_duc":
         return build_resnet(name, head="duc", num_joints=num_joints, se=reduction, train=train,
-                            dtype=dtype)
+                            dtype=dtype, remat=remat)
     if model_type == "pose_hrnet":
-        return build_hrnet(name, num_joints=num_joints, train=train, dtype=dtype)
+        return build_hrnet(name, num_joints=num_joints, train=train, dtype=dtype, remat=remat)
     raise KeyError(f"unknown model type {model_type!r}; choose from {MODEL_TYPES} "
                    f"(resnet names: {sorted(RESNET_SPECS)})")
 
@@ -48,4 +50,5 @@ def build_from_cfg(model_cfg: dict, train: bool = False, dtype=None):
         reduction=model_cfg.get("reduction", False),
         train=train,
         dtype=dtype,
+        remat=model_cfg.get("remat", False),
     )

@@ -115,11 +115,15 @@ class PoseResNet(nn.Module):
     se: bool = False
     train: bool = False
     dtype: Any = None
+    remat: bool = False  # rematerialize blocks: trade FLOPs for activation
+    # memory (jax.checkpoint), enabling larger per-chip batches
 
     @nn.compact
     def __call__(self, x):
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         expansion = block_cls.expansion
+        if self.remat:
+            block_cls = nn.remat(block_cls)
 
         x = conv(64, 7, stride=2, padding=3, name="conv1", dtype=self.dtype)(x)
         x = batch_norm(self.train, name="bn1", dtype=self.dtype)(x)
@@ -181,7 +185,7 @@ RESNET_SPECS = {
 
 
 def build_resnet(name: str, head: str = "dconv", num_joints: int = 17, se: bool = False,
-                 train: bool = False, dtype=None):
+                 train: bool = False, dtype=None, remat: bool = False):
     block, layers, extra = RESNET_SPECS[name]
     return PoseResNet(block=block, layers=layers, head=head, num_joints=num_joints, se=se,
-                      train=train, dtype=dtype, **extra)
+                      train=train, dtype=dtype, remat=remat, **extra)

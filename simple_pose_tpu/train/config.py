@@ -46,6 +46,9 @@ class ModelConfig:
     num_joints: int = 17
     pretrained: str = ""  # path to a converted/torch checkpoint, or empty
     reduction: bool = False
+    # jax.checkpoint each residual block: trade recompute FLOPs for
+    # activation memory (larger per-chip batches)
+    remat: bool = False
 
 
 @dataclass

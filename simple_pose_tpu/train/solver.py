@@ -105,17 +105,24 @@ def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), 
             return crop_fn(batch["canvas"], batch["trans"])
         if mesh is None:
             return crop_fn(batch["canvas"][batch["canvas_idx"]], batch["trans"])
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         def local_gather_crop(canvas, trans, idx):
             return crop_fn(canvas[idx], trans)
 
-        return shard_map(
-            local_gather_crop, mesh=mesh,
-            in_specs=(P("data"), P("data"), P("data")), out_specs=P("data"),
-            check_rep=False,
-        )(batch["canvas"], batch["trans"], batch["canvas_idx"])
+        try:
+            from jax import shard_map
+
+            mapped = shard_map(local_gather_crop, mesh=mesh,
+                               in_specs=(P("data"), P("data"), P("data")),
+                               out_specs=P("data"))
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+            mapped = shard_map(local_gather_crop, mesh=mesh,
+                               in_specs=(P("data"), P("data"), P("data")),
+                               out_specs=P("data"), check_rep=False)
+        return mapped(batch["canvas"], batch["trans"], batch["canvas_idx"])
 
     def train_step(state: TrainState, batch):
         crops = make_crops(batch)

