@@ -37,6 +37,8 @@ def main():
             p.add_argument("--weights", default=None)
             p.add_argument("--decoder", default="gauss_taylor", choices=["basic", "gauss_taylor"])
             p.add_argument("--flip-test", action="store_true")
+            p.add_argument("--no-amp", action="store_true",
+                           help="force float32 compute (default: bf16 on TPU)")
 
     p = sub.add_parser("gt", help="GT-box eval")
     common(p)
@@ -77,12 +79,14 @@ def main():
             args.img_root, args.ann, _model_cfg(args), weights=args.weights,
             batch_size=args.batch_size, decoder=args.decoder,
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
+            amp=False if args.no_amp else "auto",
         )
     elif args.cmd == "detections":
         stats = evalkit.predicts_by_detections(
             args.img_root, args.dets, args.ann, _model_cfg(args), weights=args.weights,
             batch_size=args.batch_size, decoder=args.decoder,
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
+            amp=False if args.no_amp else "auto",
         )
     elif args.cmd == "gen-dets":
         from simple_pose_tpu.evalkit.workflows import gen_detections
@@ -104,6 +108,7 @@ def main():
             detector_weights=args.det_weights, scale_name=args.scale_name,
             batch_size=args.batch_size, flip_test=args.flip_test, debug=args.debug,
             detector_family=args.detector_family,
+            amp=False if args.no_amp else "auto",
         )
     print(json.dumps({k: round(float(v), 4) for k, v in stats.items()}, indent=2))
 

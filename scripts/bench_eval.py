@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--reduction", action="store_true")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--flip-test", action="store_true")
+    ap.add_argument("--no-amp", action="store_true", help="force float32 compute")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -44,6 +45,7 @@ def main():
         {"type": args.model_type, "name": args.model_name, "num_joints": 17,
          "reduction": args.reduction},
         None, input_shape, flip_test=args.flip_test,
+        amp=False if args.no_amp else "auto",
     )
     rng = np.random.default_rng(0)
     s = canvas / max(input_shape)

@@ -14,7 +14,7 @@ MemoryEfficientMish computes the same function), Swish/SiLU, FReLU.
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -57,15 +57,16 @@ def swish(x):
     return x * nn.sigmoid(x)
 
 
-def _conv(features, k, s=1, p=None, groups=1, bias=False, name=None):
+def _conv(features, k, s=1, p=None, groups=1, bias=False, name=None, dtype=None):
     if p is None:
         p = (k - 1) // 2
     return nn.Conv(features, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
-                   feature_group_count=groups, use_bias=bias, name=name)
+                   feature_group_count=groups, use_bias=bias, name=name, dtype=dtype)
 
 
-def _bn(train, name=None):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
+def _bn(train, name=None, dtype=None):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name,
+                        dtype=dtype)
 
 
 class CBR(nn.Module):
@@ -78,12 +79,14 @@ class CBR(nn.Module):
     groups: int = 1
     act: Callable = hardswish
     train: bool = False
+    dtype: Any = None  # flax compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
         p = None if self.padding < 0 else self.padding
-        x = _conv(self.features, self.kernel, self.stride, p, self.groups, name="conv")(x)
-        x = _bn(self.train, name="bn")(x)
+        x = _conv(self.features, self.kernel, self.stride, p, self.groups, name="conv",
+                  dtype=self.dtype)(x)
+        x = _bn(self.train, name="bn", dtype=self.dtype)(x)
         return self.act(x) if self.act else x
 
 
@@ -95,6 +98,7 @@ class Focus(nn.Module):
     kernel: int = 1
     act: Callable = hardswish
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -102,7 +106,8 @@ class Focus(nn.Module):
             [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
             axis=-1,
         )
-        return CBR(self.features, self.kernel, act=self.act, train=self.train, name="conv")(x)
+        return CBR(self.features, self.kernel, act=self.act, train=self.train, name="conv",
+                   dtype=self.dtype)(x)
 
 
 class BottleNeck(nn.Module):
@@ -112,12 +117,14 @@ class BottleNeck(nn.Module):
     expansion: float = 0.5
     act: Callable = hardswish
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         inner = int(self.features * self.expansion)
-        out = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1")(x)
-        out = CBR(self.features, 3, 1, groups=self.groups, act=self.act, train=self.train, name="conv2")(out)
+        out = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1", dtype=self.dtype)(x)
+        out = CBR(self.features, 3, 1, groups=self.groups, act=self.act, train=self.train,
+                  name="conv2", dtype=self.dtype)(out)
         if self.shortcut and inner == self.features and x.shape[-1] == self.features:
             out = x + out
         return out
@@ -133,19 +140,21 @@ class BottleNeckCSP(nn.Module):
     expansion: float = 0.5
     act: Callable = hardswish
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         inner = int(self.features * self.expansion)
-        y1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1_0")(x)
+        y1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1_0", dtype=self.dtype)(x)
         for i in range(self.blocks):
             y1 = BottleNeck(inner, self.shortcut, self.groups, 1.0, self.act, self.train,
-                            name=f"conv1_s_{i}")(y1)
-        y1 = _conv(inner, 1, bias=False, name="conv1_n")(y1)
-        y2 = _conv(inner, 1, bias=False, name="conv2_0")(x)
+                            name=f"conv1_s_{i}", dtype=self.dtype)(y1)
+        y1 = _conv(inner, 1, bias=False, name="conv1_n", dtype=self.dtype)(y1)
+        y2 = _conv(inner, 1, bias=False, name="conv2_0", dtype=self.dtype)(x)
         y = jnp.concatenate([y1, y2], axis=-1)
-        y = self.act(_bn(self.train, name="bn")(y))
-        return CBR(self.features, 1, 1, act=self.act, train=self.train, name="conv3")(y)
+        y = self.act(_bn(self.train, name="bn", dtype=self.dtype)(y))
+        return CBR(self.features, 1, 1, act=self.act, train=self.train, name="conv3",
+                   dtype=self.dtype)(y)
 
 
 class BottleNeckCSP2(nn.Module):
@@ -158,18 +167,20 @@ class BottleNeckCSP2(nn.Module):
     expansion: float = 0.5
     act: Callable = hardswish
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         inner = int(self.features * self.expansion)
-        x1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv0")(x)
+        x1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv0", dtype=self.dtype)(x)
         y1 = x1
         for i in range(self.blocks):
             y1 = BottleNeck(inner, self.shortcut, self.groups, 1.0, self.act, self.train,
-                            name=f"conv1_{i}")(y1)
-        y2 = _conv(inner, 1, bias=False, name="conv2")(x1)
-        y = self.act(_bn(self.train, name="bn")(jnp.concatenate([y1, y2], axis=-1)))
-        return CBR(self.features, 1, 1, act=self.act, train=self.train, name="conv3")(y)
+                            name=f"conv1_{i}", dtype=self.dtype)(y1)
+        y2 = _conv(inner, 1, bias=False, name="conv2", dtype=self.dtype)(x1)
+        y = self.act(_bn(self.train, name="bn", dtype=self.dtype)(jnp.concatenate([y1, y2], axis=-1)))
+        return CBR(self.features, 1, 1, act=self.act, train=self.train, name="conv3",
+                   dtype=self.dtype)(y)
 
 
 def _maxpool_same(x, k):
@@ -183,13 +194,15 @@ class SPP(nn.Module):
     kernels: Sequence[int] = (5, 9, 13)
     act: Callable = hardswish
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         inner = x.shape[-1] // 2
-        x = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1")(x)
+        x = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1", dtype=self.dtype)(x)
         x = jnp.concatenate([x] + [_maxpool_same(x, k) for k in self.kernels], axis=-1)
-        return CBR(self.features, 1, 1, act=self.act, train=self.train, name="conv2")(x)
+        return CBR(self.features, 1, 1, act=self.act, train=self.train, name="conv2",
+                   dtype=self.dtype)(x)
 
 
 class SPPCSP(nn.Module):
@@ -200,19 +213,26 @@ class SPPCSP(nn.Module):
     kernels: Sequence[int] = (5, 9, 13)
     act: Callable = hardswish
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         inner = int(2 * self.features * self.expansion)
-        x1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1_start_0")(x)
-        x1 = CBR(inner, 3, 1, act=self.act, train=self.train, name="conv1_start_1")(x1)
-        x1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1_start_2")(x1)
+        x1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1_start_0",
+                 dtype=self.dtype)(x)
+        x1 = CBR(inner, 3, 1, act=self.act, train=self.train, name="conv1_start_1",
+                 dtype=self.dtype)(x1)
+        x1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1_start_2",
+                 dtype=self.dtype)(x1)
         y1 = jnp.concatenate([x1] + [_maxpool_same(x1, k) for k in self.kernels], axis=-1)
-        y1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1_end_0")(y1)
-        y1 = CBR(inner, 3, 1, act=self.act, train=self.train, name="conv1_end_1")(y1)
-        y2 = _conv(inner, 1, bias=False, name="conv2")(x)
-        y = self.act(_bn(self.train, name="bn")(jnp.concatenate([y1, y2], axis=-1)))
-        return CBR(self.features, 1, 1, act=self.act, train=self.train, name="conv3")(y)
+        y1 = CBR(inner, 1, 1, act=self.act, train=self.train, name="conv1_end_0",
+                 dtype=self.dtype)(y1)
+        y1 = CBR(inner, 3, 1, act=self.act, train=self.train, name="conv1_end_1",
+                 dtype=self.dtype)(y1)
+        y2 = _conv(inner, 1, bias=False, name="conv2", dtype=self.dtype)(x)
+        y = self.act(_bn(self.train, name="bn", dtype=self.dtype)(jnp.concatenate([y1, y2], axis=-1)))
+        return CBR(self.features, 1, 1, act=self.act, train=self.train, name="conv3",
+                   dtype=self.dtype)(y)
 
 
 class FReLU(nn.Module):
@@ -221,9 +241,10 @@ class FReLU(nn.Module):
 
     features: int
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        t = _conv(self.features, 3, 1, 1, groups=self.features, name="conv")(x)
-        t = _bn(self.train, name="bn")(t)
+        t = _conv(self.features, 3, 1, 1, groups=self.features, name="conv", dtype=self.dtype)(x)
+        t = _bn(self.train, name="bn", dtype=self.dtype)(t)
         return jnp.maximum(x, t)

@@ -86,18 +86,22 @@ class YOLOv5Detector:
                  scale_name: str = "l", scale_size: Tuple[int, int] = (640, 640),
                  iou_thresh: float = 0.6, conf_thresh: float = 0.001,
                  slice_idx: int = 0, canvas: int = 1280,
-                 model_family: str = "yolov5"):
+                 model_family: str = "yolov5", amp="auto"):
         self.scale_size = scale_size
         self.iou_thresh = iou_thresh
         self.conf_thresh = conf_thresh
         self.canvas = canvas
         self.num_cls = num_cls if slice_idx < 0 else 1
+        # bf16 compute on TPU (params f32; the head decodes boxes in f32)
+        if amp == "auto":
+            amp = jax.default_backend() == "tpu"
+        dtype = jnp.bfloat16 if amp else None
         if model_family == "yolov5":
-            self.model = YOLOv5(num_cls=self.num_cls, scale_name=scale_name)
+            self.model = YOLOv5(num_cls=self.num_cls, scale_name=scale_name, dtype=dtype)
         elif model_family == "yolov4":
             from simple_pose_tpu.detector.yolov4 import YOLOv4
 
-            self.model = YOLOv4(num_cls=self.num_cls, scale_name=scale_name)
+            self.model = YOLOv4(num_cls=self.num_cls, scale_name=scale_name, dtype=dtype)
         else:
             raise KeyError(f"unknown detector family {model_family!r}")
 

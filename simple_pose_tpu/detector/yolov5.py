@@ -14,7 +14,7 @@ through the generic converter.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -62,22 +62,23 @@ class YOLOv5Backbone(nn.Module):
     depth: float = 0.33
     width: float = 0.50
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         w = lambda c: width_grow(c, self.width)
         d = lambda n: depth_grow(n, self.depth)
-        t = self.train
-        x = Focus(w(64), 3, train=t, name="stem")(x)
-        x = CBR(w(128), 3, 2, train=t, name="layer1_0")(x)
-        x = BottleNeckCSP(w(128), d(3), train=t, name="layer1_1")(x)
-        x = CBR(w(256), 3, 2, train=t, name="layer2_0")(x)
-        c3 = BottleNeckCSP(w(256), d(9), train=t, name="layer2_1")(x)
-        x = CBR(w(512), 3, 2, train=t, name="layer3_0")(c3)
-        c4 = BottleNeckCSP(w(512), d(9), train=t, name="layer3_1")(x)
-        x = CBR(w(1024), 3, 2, train=t, name="layer4_0")(c4)
-        x = SPP(w(1024), (5, 9, 13), train=t, name="layer4_1")(x)
-        c5 = BottleNeckCSP(w(1024), d(3), shortcut=False, train=t, name="layer4_2")(x)
+        t, dt = self.train, self.dtype
+        x = Focus(w(64), 3, train=t, dtype=dt, name="stem")(x)
+        x = CBR(w(128), 3, 2, train=t, dtype=dt, name="layer1_0")(x)
+        x = BottleNeckCSP(w(128), d(3), train=t, dtype=dt, name="layer1_1")(x)
+        x = CBR(w(256), 3, 2, train=t, dtype=dt, name="layer2_0")(x)
+        c3 = BottleNeckCSP(w(256), d(9), train=t, dtype=dt, name="layer2_1")(x)
+        x = CBR(w(512), 3, 2, train=t, dtype=dt, name="layer3_0")(c3)
+        c4 = BottleNeckCSP(w(512), d(9), train=t, dtype=dt, name="layer3_1")(x)
+        x = CBR(w(1024), 3, 2, train=t, dtype=dt, name="layer4_0")(c4)
+        x = SPP(w(1024), (5, 9, 13), train=t, dtype=dt, name="layer4_1")(x)
+        c5 = BottleNeckCSP(w(1024), d(3), shortcut=False, train=t, dtype=dt, name="layer4_2")(x)
         return [c3, c4, c5]
 
 
@@ -90,23 +91,28 @@ class YOLOv5Neck(nn.Module):
     c5: int
     blocks: int = 1
     train: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xs):
         c3, c4, c5 = xs
-        t = self.train
-        latent_c5 = CBR(self.c4, 1, 1, train=t, name="latent_c5")(c5)
+        t, dt = self.train, self.dtype
+        latent_c5 = CBR(self.c4, 1, 1, train=t, dtype=dt, name="latent_c5")(c5)
         f4 = jnp.concatenate([_upsample2(latent_c5), c4], axis=-1)
-        c4_fuse = BottleNeckCSP(self.c4, self.blocks, shortcut=False, train=t, name="c4_fuse")(f4)
-        latent_c4 = CBR(self.c3, 1, 1, train=t, name="latent_c4")(c4_fuse)
+        c4_fuse = BottleNeckCSP(self.c4, self.blocks, shortcut=False, train=t, dtype=dt,
+                                name="c4_fuse")(f4)
+        latent_c4 = CBR(self.c3, 1, 1, train=t, dtype=dt, name="latent_c4")(c4_fuse)
         f3 = jnp.concatenate([_upsample2(latent_c4), c3], axis=-1)
-        c3_out = BottleNeckCSP(self.c3, self.blocks, shortcut=False, train=t, name="c3_out")(f3)
-        c3_c4 = CBR(self.c3, 3, 2, train=t, name="c3_c4")(c3_out)
-        c4_out = BottleNeckCSP(self.c4, self.blocks, shortcut=False, train=t, name="c4_out")(
+        c3_out = BottleNeckCSP(self.c3, self.blocks, shortcut=False, train=t, dtype=dt,
+                               name="c3_out")(f3)
+        c3_c4 = CBR(self.c3, 3, 2, train=t, dtype=dt, name="c3_c4")(c3_out)
+        c4_out = BottleNeckCSP(self.c4, self.blocks, shortcut=False, train=t, dtype=dt,
+                               name="c4_out")(
             jnp.concatenate([c3_c4, latent_c4], axis=-1)
         )
-        c4_c5 = CBR(self.c4, 3, 2, train=t, name="c4_c5")(c4_out)
-        c5_out = BottleNeckCSP(self.c5, self.blocks, shortcut=False, train=t, name="c5_out")(
+        c4_c5 = CBR(self.c4, 3, 2, train=t, dtype=dt, name="c4_c5")(c4_out)
+        c5_out = BottleNeckCSP(self.c5, self.blocks, shortcut=False, train=t, dtype=dt,
+                               name="c5_out")(
             jnp.concatenate([c4_c5, latent_c5], axis=-1)
         )
         return [c3_out, c4_out, c5_out]
@@ -119,6 +125,7 @@ class YOLOHead(nn.Module):
     anchors: Sequence[Sequence[float]] = YOLOV5_DEFAULT_ANCHORS
     strides: Sequence[float] = YOLOV5_DEFAULT_STRIDES
     decode: bool = True  # inference decode; False -> raw per-level maps
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xs):
@@ -129,13 +136,16 @@ class YOLOHead(nn.Module):
             head = nn.Conv(
                 num_out * apg, (1, 1), use_bias=True,
                 bias_init=head_bias_init(self.num_cls, apg, self.strides[i]),
-                name=f"heads_{i}",
+                name=f"heads_{i}", dtype=self.dtype,
             )
             y = head(x)  # [B, ny, nx, apg*num_out]
             b, ny, nx, _ = y.shape
             y = y.reshape(b, ny, nx, apg, num_out).transpose(0, 3, 1, 2, 4)  # [B, apg, ny, nx, out]
             raw.append(y)
             if self.decode:
+                # box decode in f32: grid offsets up to 80 and stride scaling
+                # would eat bf16 mantissa (the [B,A,out] tensor is tiny)
+                y = y.astype(jnp.float32)
                 gx = jnp.arange(nx, dtype=jnp.float32)[None, None, None, :]
                 gy = jnp.arange(ny, dtype=jnp.float32)[None, None, :, None]
                 anc = jnp.asarray(self.anchors[i], jnp.float32).reshape(1, apg, 1, 1, 2)
@@ -165,13 +175,15 @@ class YOLOv5(nn.Module):
     strides: Sequence[float] = YOLOV5_DEFAULT_STRIDES
     train: bool = False
     decode: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         depth, width = model_scale(self.scale_name)
-        backbone = YOLOv5Backbone(depth, width, self.train, name="backbones")
+        backbone = YOLOv5Backbone(depth, width, self.train, self.dtype, name="backbones")
         c3, c4, c5 = (width_grow(c, width) for c in (256, 512, 1024))
         xs = backbone(x)
-        xs = YOLOv5Neck(c3, c4, c5, depth_grow(3, depth), self.train, name="neck")(xs)
+        xs = YOLOv5Neck(c3, c4, c5, depth_grow(3, depth), self.train, self.dtype, name="neck")(xs)
         return YOLOHead(self.num_cls, self.anchors, self.strides,
-                        decode=self.decode and not self.train, name="head")(xs)
+                        decode=self.decode and not self.train, dtype=self.dtype,
+                        name="head")(xs)

@@ -21,7 +21,7 @@ import numpy as np
 from simple_pose_tpu.data.pipeline import RGB_MEAN
 from simple_pose_tpu.detector.nms import non_max_suppression_jit
 from simple_pose_tpu.detector.wrapper import YOLOv5Detector, letterbox_params, _letterbox_trans
-from simple_pose_tpu.evalkit.workflows import load_model_variables
+from simple_pose_tpu.evalkit.workflows import load_model_variables, resolve_amp_dtype
 from simple_pose_tpu.ops.affine_jax import affine_crop_separable_multi, boxes_to_crop_affines
 from simple_pose_tpu.ops.decode import decode_gauss_taylor, decode_basic, instance_scores
 from simple_pose_tpu.ops.warp import affine_crop_separable
@@ -36,17 +36,18 @@ class FusedDetectPose:
                  detector_weights: Optional[str] = None, scale_name: str = "l",
                  det_size=(640, 640), input_shape=(192, 256), max_people: int = 16,
                  det_conf: float = 0.25, det_iou: float = 0.5, decoder: str = "gauss_taylor",
-                 canvas: int = 1280, detector_family: str = "yolov5"):
+                 canvas: int = 1280, detector_family: str = "yolov5", amp="auto"):
         self.canvas = canvas
         self.det_size = det_size
         self.max_people = max_people
         self.detector = YOLOv5Detector(
             weights_path=detector_weights, scale_name=scale_name, scale_size=det_size,
             conf_thresh=det_conf, iou_thresh=det_iou, canvas=canvas,
-            model_family=detector_family,
+            model_family=detector_family, amp=amp,
         )
         crop_shape = (input_shape[1], input_shape[0])
-        self.pose_model, self.pose_vars = load_model_variables(pose_model_cfg, pose_weights, crop_shape)
+        self.pose_model, self.pose_vars = load_model_variables(
+            pose_model_cfg, pose_weights, crop_shape, dtype=resolve_amp_dtype(amp))
         decode = decode_basic if decoder == "basic" else decode_gauss_taylor
         tw, th = det_size
 

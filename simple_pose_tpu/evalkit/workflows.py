@@ -71,11 +71,22 @@ def kps_to_dicts(kps, conf, scores, img_ids, out_list):
         )
 
 
-def load_model_variables(model_cfg: dict, weights: Optional[str], crop_shape):
+def resolve_amp_dtype(amp):
+    """'auto' -> bf16 compute on TPU, f32 elsewhere; True/False force it.
+
+    Params always stay float32 (flax compute dtype only), and every decode
+    consumer upcasts heatmaps to float32 first, so amp changes throughput,
+    not the stored weights."""
+    if amp == "auto":
+        amp = jax.default_backend() == "tpu"
+    return jnp.bfloat16 if amp else None
+
+
+def load_model_variables(model_cfg: dict, weights: Optional[str], crop_shape, dtype=None):
     """Build the eval model and load weights from a torch .pth (reference
     layout, ['ema'] key) or an Orbax checkpoint directory (PoseSolver layout,
-    uses ema_params)."""
-    model = build_from_cfg(model_cfg, train=False)
+    uses ema_params).  ``dtype`` is the flax compute dtype (params f32)."""
+    model = build_from_cfg(model_cfg, train=False, dtype=dtype)
     x = jnp.zeros((1,) + tuple(crop_shape) + (3,), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
     if not weights:
@@ -113,10 +124,11 @@ class PoseEvaluator:
 
     def __init__(self, model_cfg: dict, weights: Optional[str] = None,
                  input_shape=(192, 256), decoder: str = "gauss_taylor",
-                 flip_test: bool = False):
+                 flip_test: bool = False, amp="auto"):
         self.crop_shape = (input_shape[1], input_shape[0])
         self.out_shape = (input_shape[1] // 4, input_shape[0] // 4)
-        self.model, self.variables = load_model_variables(model_cfg, weights, self.crop_shape)
+        self.model, self.variables = load_model_variables(
+            model_cfg, weights, self.crop_shape, dtype=resolve_amp_dtype(amp))
         self.num_joints = model_cfg.get("num_joints", 17)
         self.flip_test = flip_test
         decode = decode_basic if decoder == "basic" else decode_gauss_taylor
@@ -147,14 +159,15 @@ class PoseEvaluator:
 
 def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                    input_shape=(192, 256), decoder="gauss_taylor", flip_test=False,
-                   out_path="test_gt_kpt.json", canvas=640, debug=0, dedup=True):
+                   out_path="test_gt_kpt.json", canvas=640, debug=0, dedup=True,
+                   amp="auto"):
     """GT-box eval (eval.py:30-66).  Returns the stats dict."""
     records = load_coco_keypoints(img_root, ann_path, debug=debug)
     pipe = PosePipeline(records, batch_size, input_shape=input_shape,
                         output_shape=(input_shape[0] // 4, input_shape[1] // 4),
                         canvas=canvas, augment=False, shuffle=False, drop_last=False,
                         dedup_canvases=(batch_size // 2) if dedup else 0)
-    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test)
+    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp)
     results = []
     for batch in pipe.epoch(0):
         out = ev(batch)
@@ -171,7 +184,7 @@ def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
 def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weights=None,
                            batch_size=32, input_shape=(192, 256), decoder="gauss_taylor",
                            flip_test=False, out_path="predicts_kps_temp.json", canvas=640,
-                           in_vis_thre=0.2, oks_thre=0.9, debug=0, dedup=True):
+                           in_vis_thre=0.2, oks_thre=0.9, debug=0, dedup=True, amp="auto"):
     """Detector-box eval + OKS-NMS rescoring (eval.py:101-150 + 153-197).
 
     Returns the stats dict of the rescored/filtered predictions."""
@@ -180,7 +193,7 @@ def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weig
                           output_shape=(input_shape[0] // 4, input_shape[1] // 4),
                           canvas=canvas,
                           dedup_canvases=(batch_size // 2) if dedup else 0)
-    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test)
+    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp)
     predictions = []
     for batch in pipe.epoch(0):
         out = ev(batch)
@@ -299,7 +312,7 @@ def gen_detections(img_root, ann_path, detector=None, out_path="person_detection
 def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
                      detector_weights=None, scale_name="l", det_conf=0.25, det_iou=0.5,
                      batch_size=32, input_shape=(192, 256), flip_test=False,
-                     work_dir=".", debug=0, detector_family="yolov5"):
+                     work_dir=".", debug=0, detector_family="yolov5", amp="auto"):
     """End-to-end detect -> crop -> pose -> rescoring AP
     (README.md:94-106 workflow; BASELINE.json config #5)."""
     det_path = os.path.join(work_dir, "person_detections.json")
@@ -309,5 +322,5 @@ def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
     return predicts_by_detections(
         img_root, det_path, ann_path, pose_model_cfg, weights=pose_weights,
         batch_size=batch_size, input_shape=input_shape, flip_test=flip_test,
-        out_path=os.path.join(work_dir, "predicts_kps_temp.json"),
+        out_path=os.path.join(work_dir, "predicts_kps_temp.json"), amp=amp,
     )

@@ -353,3 +353,23 @@ def test_yolov4_person_head_slice_equivalence():
     sliced = np.asarray(m1.apply(v1, x))
     np.testing.assert_allclose(sliced[..., :5], full[..., :5], atol=1e-5)
     np.testing.assert_allclose(sliced[..., 5], full[..., 5], atol=1e-5)
+
+
+def test_detector_amp_matches_f32():
+    """bf16 compute must reproduce the f32 detector's decoded boxes to
+    tolerance (params f32 either way; the head decodes in f32)."""
+    import jax
+
+    from simple_pose_tpu.detector.yolov5 import YOLOv5
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    m32 = YOLOv5(num_cls=1, scale_name="s")
+    m16 = YOLOv5(num_cls=1, scale_name="s", dtype=jnp.bfloat16)
+    v = m32.init(jax.random.PRNGKey(0), x)
+    y32 = np.asarray(m32.apply(v, x))
+    y16 = np.asarray(m16.apply(v, x))
+    assert y16.dtype == np.float32
+    # random init -> near-prior outputs; boxes within a pixel, scores close
+    assert np.median(np.abs(y32[..., :4] - y16[..., :4])) < 1.0
+    assert np.abs(y32[..., 4:] - y16[..., 4:]).mean() < 5e-3

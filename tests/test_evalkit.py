@@ -152,3 +152,28 @@ def test_reproduce_runbook_commands(synth, tmp_path, monkeypatch):
     ])
     eval_cli.main()
     assert (tmp_path / "gen_cli.json").exists()
+
+
+def test_amp_evaluator_matches_f32(synth):
+    """bf16 compute (amp=True) must reproduce the f32 evaluator's decoded
+    peaks to sub-pixel tolerance: params are f32 either way (flax compute
+    dtype only), and decode upcasts heatmaps to f32 first."""
+    img_root, ann_path, _ = synth
+    from simple_pose_tpu.data.coco import load_coco_keypoints
+    from simple_pose_tpu.data.pipeline import PosePipeline
+
+    recs = load_coco_keypoints(img_root, ann_path)
+    pipe = PosePipeline(recs, 4, input_shape=(64, 64), output_shape=(16, 16),
+                        canvas=192, augment=False, shuffle=False, drop_last=False)
+    batch = next(iter(pipe.epoch(0)))
+    ev32 = PoseEvaluator(MODEL_CFG, None, (64, 64), amp=False)
+    ev16 = PoseEvaluator(MODEL_CFG, None, (64, 64), amp=True)
+    ev16.variables = ev32.variables  # identical f32 params
+    out32 = ev32(batch)
+    out16 = ev16(batch)
+    kps32, kps16 = np.asarray(out32["kps"]), np.asarray(out16["kps"])
+    # decoded coordinates are in source-canvas pixels (canvas=192): random
+    # weights give near-flat heatmaps (worst case for argmax stability), so
+    # allow a couple of pixels on stragglers but require overall agreement
+    assert np.median(np.abs(kps32 - kps16)) < 1.0
+    assert np.mean(np.abs(np.asarray(out32["conf"]) - np.asarray(out16["conf"]))) < 1e-2
