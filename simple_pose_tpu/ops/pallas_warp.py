@@ -42,14 +42,22 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, ow, channels):
+def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, cw, channels):
     """scalars_ref: [B, 8] scalar-prefetch (r00, r01, r10, r11, u0x, u0y, _, _)
     inter_ref: [1, C, inter, inter] VMEM (one sample's patch, channel-major:
         C must NOT be the lane dim or tiling pads 3 channels to 128 lanes)
-    out_ref: [1, 1, C, q] VMEM
+    out_ref: [1, 1, 1, C, q] VMEM
+
+    The grid tiles the output in (row_block x cw) blocks.  Narrower column
+    blocks shrink the y-band (the rotation sweep |r10|*cw across a block) --
+    at cw=96 the band roughly halves vs full-row blocks, cutting the
+    dominant [band, inter] @ [inter, q] contraction FLOPs ~40% with
+    bit-identical output (rows outside the 2-tap hat support contribute
+    exact f32 zeros, so banding never changes the sum).
     """
     bi = pl.program_id(0)
     blk = pl.program_id(1)
+    cblk = pl.program_id(2)
     r00 = scalars_ref[bi, 0]
     r01 = scalars_ref[bi, 1]
     r10 = scalars_ref[bi, 2]
@@ -57,13 +65,14 @@ def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, o
     u0x = scalars_ref[bi, 4]
     u0y = scalars_ref[bi, 5]
 
-    q = row_block * ow
+    q = row_block * cw
     y0 = (blk * row_block).astype(jnp.float32)
+    x0 = (cblk * cw).astype(jnp.float32)
     # block pixel grid directly in flat [1, q] lane layout (Mosaic cannot
-    # reshape across lanes): row = qi // ow, col = qi % ow
+    # reshape across lanes): row = qi // cw, col = qi % cw
     qi = jax.lax.broadcasted_iota(jnp.int32, (1, q), 1)
-    rows = (qi // ow).astype(jnp.float32) + y0
-    cols = (qi % ow).astype(jnp.float32)
+    rows = (qi // cw).astype(jnp.float32) + y0
+    cols = (qi % cw).astype(jnp.float32) + x0
     ux = r00 * cols + r01 * rows + u0x  # [1, q]
     uy = r10 * cols + r11 * rows + u0y
 
@@ -84,57 +93,69 @@ def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, o
         i_band = inter_ref[0, ci, pl.ds(band_start, band), :]  # [band, inter] bf16
         p_c = jnp.dot(i_band, v_t, preferred_element_type=jnp.float32)  # [band, q]
         out_c = jnp.sum(u_t * p_c, axis=0, keepdims=True)  # [1, q]
-        out_ref[0, 0, ci, :] = out_c[0]
+        out_ref[0, 0, 0, ci, :] = out_c[0]
 
 
-def rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block=8):
-    """Stage-2 rotation resample: [B, C, inter, inter] -> [B, oh, ow, C]."""
+def rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block=8, col_block=None):
+    """Stage-2 rotation resample: [B, C, inter, inter] -> [B, oh, ow, C].
+
+    band must cover the rotation sweep of one (row_block x col_block) output
+    block (computed by the caller from col_block)."""
     b, c, inter, _ = inter_img.shape
     oh, ow = out_hw
-    assert oh % row_block == 0
+    cw = ow if col_block is None else col_block
+    assert oh % row_block == 0 and ow % cw == 0
     scalars = jnp.concatenate(
         [r_mat.reshape(b, 4), u0, jnp.zeros((b, 2), jnp.float32)], axis=-1
     )  # [B, 8]
     n_blocks = oh // row_block
-    q = row_block * ow
+    n_cblocks = ow // cw
+    q = row_block * cw
     kernel = functools.partial(
-        _stage2_kernel, inter=inter, band=band, row_block=row_block, ow=ow, channels=c
+        _stage2_kernel, inter=inter, band=band, row_block=row_block, cw=cw, channels=c
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, n_blocks),
+        grid=(b, n_blocks, n_cblocks),
         in_specs=[
-            pl.BlockSpec((1, c, inter, inter), lambda i, j, s: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, inter, inter), lambda i, j, k, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, c, q), lambda i, j, s: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, 1, c, q), lambda i, j, k, s: (i, j, k, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_blocks, c, q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks, n_cblocks, c, q), jnp.float32),
     )(scalars, inter_img)
-    # [B, n_blocks, C, row_block*ow] -> [B, oh, ow, C]
-    out = out.reshape(b, n_blocks, c, row_block, ow)
-    return out.transpose(0, 1, 3, 4, 2).reshape(b, oh, ow, c)
+    # [B, n_blocks, n_cblocks, C, row_block*cw] -> [B, oh, ow, C]
+    out = out.reshape(b, n_blocks, n_cblocks, c, row_block, cw)
+    return out.transpose(0, 1, 4, 2, 5, 3).reshape(b, oh, ow, c)
 
 
 def affine_crop_pallas(images, trans, out_hw, inter: int = 328, row_block: int = 8,
-                       max_rot_deg: float = 41.0):
+                       max_rot_deg: float = 41.0, col_block: int = 96):
     """Two-stage batched affine crop with the Pallas stage-2 kernel.
 
     Same semantics as affine_crop_mxu (training-augmentation warp); requires
     the affine's rotation component to stay within +-max_rot_deg (the
     reference augments within +-40, commons/transforms.py:205).
+
+    col_block tiles output rows into column blocks: the y-band scales with
+    the block width (sin_max * cw), so cw=96 nearly halves the stage-2
+    contraction FLOPs at ow=192 vs full-row blocks, bit-identically (see
+    _stage2_kernel).  Widths that don't divide ow fall back to full rows.
     """
     b, h, w, c = images.shape
     oh, ow = out_hw
     assert (oh**2 + ow**2) ** 0.5 <= inter - 4
+    cw = col_block if (col_block and ow % col_block == 0) else ow
     d0, d1, r_mat, u0, t1x, t1y = decompose_affine(trans, out_hw, inter)
     inter_img = stage1_resample(images, d0, d1, t1x, t1y, inter)
     inter_img = inter_img.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # channel-major bf16
     sin_max = min(1.0, abs(math.sin(math.radians(min(max_rot_deg, 90.0)))) + 1e-3)
     # +8 covers the sublane round-down of the dynamic band start
-    band = min(inter, _round_up(int(np.ceil(sin_max * ow)) + row_block + 6 + 8, 8))
-    return rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block)
+    band = min(inter, _round_up(int(np.ceil(sin_max * cw)) + row_block + 6 + 8, 8))
+    return rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block, cw)

@@ -53,3 +53,17 @@ def test_pallas_axis_aligned(interpret_pallas):
         interpret_pallas.affine_crop_pallas(jnp.asarray(imgs), jnp.asarray(tr), (256, 192))
     )
     assert np.abs(pls - xla).max() < 3.0
+
+
+def test_pallas_col_block_bit_exact(interpret_pallas):
+    """Column blocking (cw=96 vs full-row cw=192) must be BIT-identical:
+    the narrower y-band only drops rows whose hat weights are exactly 0.0,
+    and f32 adds of 0.0 never change the sum."""
+    rng = np.random.default_rng(2)
+    imgs = np.stack([rng.integers(0, 255, (512, 512, 3), dtype=np.uint8) for _ in range(2)])
+    tr = np.stack([_mk_trans(rng, r) for r in (-40.0, 27.5)])
+    full = np.asarray(interpret_pallas.affine_crop_pallas(
+        jnp.asarray(imgs), jnp.asarray(tr), (256, 192), col_block=0))
+    blocked = np.asarray(interpret_pallas.affine_crop_pallas(
+        jnp.asarray(imgs), jnp.asarray(tr), (256, 192), col_block=96))
+    assert np.array_equal(full, blocked)
