@@ -20,6 +20,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 LOGDIR = os.environ.get("PROF_LOGDIR", "/tmp/sp_profile")
 
 
+def capture_eval():
+    """Trace the PoseEvaluator step (crop -> forward -> decode)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/simple_pose_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+
+    batch = int(os.environ.get("PROF_BATCH", 128))
+    model_name = os.environ.get("PROF_MODEL", "pose_resnet_dconv:resnet50")
+    mtype, mname = model_name.split(":")
+    canvas = 640
+    ev = PoseEvaluator({"type": mtype, "name": mname, "num_joints": 17,
+                        "reduction": mtype != "pose_hrnet"}, None, (192, 256))
+    rng = np.random.default_rng(0)
+    s = canvas / 256
+    b = jax.device_put({
+        "canvas": rng.integers(0, 255, (batch, canvas, canvas, 3), dtype=np.uint8),
+        "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (batch, 1, 1)),
+        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32),
+                             (batch, 1, 1)),
+    })
+    out = ev._step(ev.variables, b)
+    float(jnp.sum(out["kps"]))
+    with jax.profiler.trace(LOGDIR):
+        for _ in range(5):
+            out = ev._step(ev.variables, b)
+        float(jnp.sum(out["kps"]))
+    print("captured", flush=True)
+
+
 def capture():
     import jax
     import jax.numpy as jnp
@@ -97,7 +130,11 @@ def report(top=40):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if mode in ("all", "capture"):
-        capture()
-    if mode in ("all", "report"):
+    if mode == "eval":
+        capture_eval()
         report()
+    else:
+        if mode in ("all", "capture"):
+            capture()
+        if mode in ("all", "report"):
+            report()
