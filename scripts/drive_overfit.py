@@ -1,0 +1,86 @@
+"""Full-framework convergence drive: train PoseSolver end to end on a
+synthetic marker set until validation AP reaches 1.0.
+
+Exercises, in one real training loop, the host pipeline (canvas dedup),
+the device crop (Pallas on TPU / MXU on CPU), encode, model fwd+bwd, the
+3-group optimizer, EMA, sharded validation, decode and COCOeval — the
+round-1 "full-solver overfit" validation as a repeatable artifact.
+
+    python scripts/drive_overfit.py            # TPU (or ambient backend)
+    OVERFIT_EPOCHS=8 python scripts/drive_overfit.py
+
+Writes OVERFIT.json at the repo root: backend, per-epoch AP, wall time.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/simple_pose_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from simple_pose_tpu.train.config import load_config
+    from simple_pose_tpu.train.solver import PoseSolver
+    from tests.util_synth import make_synth_coco
+
+    epochs = int(os.environ.get("OVERFIT_EPOCHS", 600))
+    val_every = int(os.environ.get("OVERFIT_VAL_EVERY", 100))
+    tmp = tempfile.mkdtemp(prefix="overfit_")
+    img_root, ann_path, _ = make_synth_coco(tmp, num_images=16, paint_markers=True)
+    cfg = load_config({
+        "model_name": "overfit_drive",
+        "data": {
+            "train_ann_path": ann_path, "val_ann_path": ann_path,
+            "train_img_root": img_root, "val_img_root": img_root,
+            "batch_size": 16, "num_workers": 2, "canvas": 192,
+            "input_shape": [64, 64],
+            # memorization setup: no augmentation (the round-1 drive's
+            # configuration) -- the point is end-to-end learnability of the
+            # crop->encode->model->decode->COCOeval chain, not aug robustness
+            "augment": False,
+        },
+        "model": {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        "optim": {"lr": 1e-3, "milestones": [max(2, epochs - 100)], "epochs": epochs,
+                  "gamma": 0.1, "amp": jax.default_backend() == "tpu"},
+        "val": {"interval": 1, "weight_path": os.path.join(tmp, "weights")},
+        "mesh": {"data": len(jax.devices())},
+        "seed": 11,
+    })
+    solver = PoseSolver(cfg)
+    solver.init_state()
+    t0 = time.perf_counter()
+    aps = []
+    for ep in range(epochs):
+        solver.train_epoch(ep, log_every=10**9)
+        if (ep + 1) % val_every and ep != epochs - 1:
+            continue
+        stats = solver.validate(ep, results_path=os.path.join(tmp, "val.json"))
+        aps.append(round(float(stats["AP"]), 4))
+        print(json.dumps({"epoch": ep, "AP": aps[-1]}), flush=True)
+        if aps[-1] >= 0.999:
+            break
+    out = {
+        "backend": jax.default_backend(),
+        "devices": len(jax.devices()),
+        "epochs_run": len(aps),
+        "ap_per_epoch": aps,
+        "final_ap": aps[-1],
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "reached_1_0": bool(aps[-1] >= 0.999),
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "OVERFIT.json"), "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,9 @@ class DataConfig:
     # commons/transforms.py:167-191) or 'biased' (BasicSimpleTransform,
     # commons/transforms.py:80-116)
     encoding: str = "unbiased"
+    # training-time augmentation (flip/rotation/scale jitter/DPG); the
+    # reference always augments -- False is for overfit drives / fine-tunes
+    augment: bool = True
     # canvas dedup: ship one canvas per source IMAGE instead of per crop
     # (COCO averages ~2.3 instances/image -> ~2x less host decode + H2D).
     # dedup_ratio = canvas slots / crops per batch; 0 disables.

@@ -113,9 +113,12 @@ def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), 
         try:
             from jax import shard_map
 
+            # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+            # annotation, which the default check rejects (the gather+crop is
+            # trivially per-shard -- nothing is replicated)
             mapped = shard_map(local_gather_crop, mesh=mesh,
                                in_specs=(P("data"), P("data"), P("data")),
-                               out_specs=P("data"))
+                               out_specs=P("data"), check_vma=False)
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
@@ -228,7 +231,7 @@ class PoseSolver:
             self.train_pipe = PosePipeline(
                 recs, cfgd.data.batch_size, input_shape=cfgd.data.input_shape,
                 output_shape=(in_w // 4, in_h // 4), canvas=cfgd.data.canvas,
-                augment=True, seed=cfgd.seed, num_threads=cfgd.data.num_workers,
+                augment=cfgd.data.augment, seed=cfgd.seed, num_threads=cfgd.data.num_workers,
                 process_index=jax.process_index(), process_count=jax.process_count(),
                 dedup_canvases=dedup_canvases, dedup_buckets=n_buckets,
             )

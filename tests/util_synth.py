@@ -6,8 +6,14 @@ import os
 import numpy as np
 
 
-def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per_image=1):
-    """Writes {root}/imgs/*.jpg and {root}/ann.json; returns (img_root, ann_path, gt dict)."""
+def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per_image=1,
+                    paint_markers=False):
+    """Writes {root}/imgs/*.jpg and {root}/ann.json; returns (img_root, ann_path, gt dict).
+
+    paint_markers=True draws a distinct solid color patch at each joint so
+    the keypoints are visually learnable (the convergence-drive setup);
+    False keeps pure noise images (pipeline/plumbing tests).
+    """
     import cv2 as cv
 
     rng = np.random.default_rng(seed)
@@ -27,6 +33,12 @@ def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per
             kp[:, 0] = np.clip(rng.normal(cx, 12, 17), 2, img_w - 3)
             kp[:, 1] = np.clip(rng.normal(cy, 16, 17), 2, img_h - 3)
             kp[:, 2] = 2
+            if paint_markers:
+                for j in range(17):
+                    color = tuple(int(v) for v in (
+                        (j * 15) % 256, (255 - j * 13) % 256, (j * 29 + 64) % 256))
+                    cv.circle(img, (int(kp[j, 0]), int(kp[j, 1])), 3, color, -1)
+                cv.imwrite(os.path.join(img_root, file_name), img)
             x0, y0 = kp[:, 0].min() - 5, kp[:, 1].min() - 5
             x1, y1 = kp[:, 0].max() + 5, kp[:, 1].max() + 5
             annotations.append({
