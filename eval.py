@@ -54,6 +54,8 @@ def main():
     p.add_argument("--det-weights", default=None)
     p.add_argument("--scale-name", default="l")
     p.add_argument("--detector-family", default="yolov5", choices=["yolov5", "yolov4"])
+    p.add_argument("--no-amp", action="store_true",
+                   help="force float32 compute (default: bf16 on TPU)")
     p.add_argument("--canvas", type=int, default=1280)
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.5)
@@ -95,7 +97,8 @@ def main():
                        conf_thresh=args.conf, iou_thresh=args.iou,
                        weights_path=args.det_weights, scale_name=args.scale_name,
                        batch_size=args.batch_size, debug=args.debug,
-                       detector_family=args.detector_family, canvas=args.canvas)
+                       detector_family=args.detector_family, canvas=args.canvas,
+                       amp=False if args.no_amp else "auto")
         print(f"wrote {args.out}")
         return
     elif args.cmd == "rescore":

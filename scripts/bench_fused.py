@@ -56,18 +56,7 @@ def main():
     shapes = [(canvas, canvas)] * b
 
     # pre-stage the program inputs once (tunnel-limited H2D in this dev env)
-    import numpy as _np
-    lb_trans = _np.zeros((b, 2, 3), _np.float32)
-    lb_region = _np.zeros((b, 4), _np.float32)
-    lb_inv_scale = _np.zeros((b,), _np.float32)
-    lb_offset = _np.zeros((b, 2), _np.float32)
-    from simple_pose_tpu.detector.wrapper import letterbox_params, _letterbox_trans
-    for i, (h, w) in enumerate(shapes):
-        r, left, top, new_w, new_h = letterbox_params(h, w, det_size)
-        lb_trans[i] = _letterbox_trans(r, left, top)
-        lb_region[i] = [left, top, left + new_w, top + new_h]
-        lb_inv_scale[i] = 1.0 / r
-        lb_offset[i] = [left, top]
+    lb_trans, lb_region, lb_inv_scale, lb_offset = fused.host_prep(shapes)
     dev_args = tuple(jax.device_put(a) for a in (
         fused.detector.variables, fused.pose_vars, jnp.asarray(canvases),
         jnp.asarray(lb_trans), jnp.asarray(lb_region),

@@ -57,24 +57,28 @@ def main():
     solver = PoseSolver(cfg)
     solver.init_state()
     t0 = time.perf_counter()
-    aps = []
+    ap_by_epoch = {}
+    last_ep = 0
     for ep in range(epochs):
         solver.train_epoch(ep, log_every=10**9)
+        last_ep = ep
         if (ep + 1) % val_every and ep != epochs - 1:
             continue
         stats = solver.validate(ep, results_path=os.path.join(tmp, "val.json"))
-        aps.append(round(float(stats["AP"]), 4))
-        print(json.dumps({"epoch": ep, "AP": aps[-1]}), flush=True)
-        if aps[-1] >= 0.999:
+        ap_by_epoch[ep + 1] = round(float(stats["AP"]), 4)
+        print(json.dumps({"epoch": ep, "AP": ap_by_epoch[ep + 1]}), flush=True)
+        if ap_by_epoch[ep + 1] >= 0.999:
             break
+    final_ap = ap_by_epoch[max(ap_by_epoch)]
     out = {
         "backend": jax.default_backend(),
         "devices": len(jax.devices()),
-        "epochs_run": len(aps),
-        "ap_per_epoch": aps,
-        "final_ap": aps[-1],
+        "epochs_run": last_ep + 1,
+        "steps_per_epoch": 1,
+        "ap_by_epoch": ap_by_epoch,
+        "final_ap": final_ap,
         "wall_s": round(time.perf_counter() - t0, 1),
-        "reached_1_0": bool(aps[-1] >= 0.999),
+        "reached_1_0": bool(final_ap >= 0.999),
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "OVERFIT.json"), "w") as f:

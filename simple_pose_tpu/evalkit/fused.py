@@ -89,11 +89,10 @@ class FusedDetectPose:
 
         self._program = jax.jit(program)
 
-    def __call__(self, canvases_u8, shapes):
-        """:param canvases_u8: [B, canvas, canvas, 3] uint8 BGR at origin
-        :param shapes: [(h, w)] true image sizes
-        :returns: dict of numpy arrays; entries masked by det_valid"""
-        b = canvases_u8.shape[0]
+    def host_prep(self, shapes):
+        """Per-image letterbox geometry (host side): returns
+        (lb_trans [B,2,3], lb_region [B,4], lb_inv_scale [B], lb_offset [B,2])."""
+        b = len(shapes)
         lb_trans = np.zeros((b, 2, 3), np.float32)
         lb_region = np.zeros((b, 4), np.float32)
         lb_inv_scale = np.zeros((b,), np.float32)
@@ -104,6 +103,13 @@ class FusedDetectPose:
             lb_region[i] = [left, top, left + new_w, top + new_h]
             lb_inv_scale[i] = 1.0 / r
             lb_offset[i] = [left, top]
+        return lb_trans, lb_region, lb_inv_scale, lb_offset
+
+    def __call__(self, canvases_u8, shapes):
+        """:param canvases_u8: [B, canvas, canvas, 3] uint8 BGR at origin
+        :param shapes: [(h, w)] true image sizes
+        :returns: dict of numpy arrays; entries masked by det_valid"""
+        lb_trans, lb_region, lb_inv_scale, lb_offset = self.host_prep(shapes)
         out = self._program(
             self.detector.variables, self.pose_vars, jnp.asarray(canvases_u8),
             jnp.asarray(lb_trans), jnp.asarray(lb_region),

@@ -34,7 +34,7 @@ import numpy as np
 from simple_pose_tpu.data.coco import JOINT_PAIRS, load_coco_keypoints, load_detection_boxes
 from simple_pose_tpu.data.pipeline import RGB_MEAN, DetBoxPipeline, PosePipeline
 from simple_pose_tpu.metrics.cocoeval import evaluate_map
-from simple_pose_tpu.models.registry import build_from_cfg
+from simple_pose_tpu.models.registry import build_from_cfg, resolve_amp_dtype
 from simple_pose_tpu.ops.decode import decode_basic, decode_gauss_taylor, instance_scores
 from simple_pose_tpu.ops.oks import oks_nms
 from simple_pose_tpu.ops.warp import affine_crop_separable
@@ -69,17 +69,6 @@ def kps_to_dicts(kps, conf, scores, img_ids, out_list):
                 "keypoints": np.concatenate([kp, cf], axis=-1).reshape(-1).tolist(),
             }
         )
-
-
-def resolve_amp_dtype(amp):
-    """'auto' -> bf16 compute on TPU, f32 elsewhere; True/False force it.
-
-    Params always stay float32 (flax compute dtype only), and every decode
-    consumer upcasts heatmaps to float32 first, so amp changes throughput,
-    not the stored weights."""
-    if amp == "auto":
-        amp = jax.default_backend() == "tpu"
-    return jnp.bfloat16 if amp else None
 
 
 def load_model_variables(model_cfg: dict, weights: Optional[str], crop_shape, dtype=None):
@@ -261,7 +250,7 @@ def rescore_and_filter(predictions, gt_ann_path, in_vis_thre=0.2, oks_thre=0.9,
 def gen_detections(img_root, ann_path, detector=None, out_path="person_detections.json",
                    batch_size=8, conf_thresh=0.25, iou_thresh=0.5, canvas=1280,
                    weights_path=None, scale_name="l", debug=0,
-                   detector_family="yolov5"):
+                   detector_family="yolov5", amp="auto"):
     """Run the person detector over the val images and dump a COCO-format
     detection json consumable by predicts_by_detections
     (gen_data_by_detector parity, eval.py:69-98; the output format is the
@@ -275,7 +264,7 @@ def gen_detections(img_root, ann_path, detector=None, out_path="person_detection
     if detector is None:
         detector = YOLOv5Detector(weights_path=weights_path, scale_name=scale_name,
                                   conf_thresh=conf_thresh, iou_thresh=iou_thresh, canvas=canvas,
-                                  model_family=detector_family)
+                                  model_family=detector_family, amp=amp)
     with open(ann_path) as rf:
         images = json.load(rf)["images"]
     if debug:
@@ -318,7 +307,8 @@ def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
     det_path = os.path.join(work_dir, "person_detections.json")
     gen_detections(img_root, ann_path, out_path=det_path, conf_thresh=det_conf,
                    iou_thresh=det_iou, weights_path=detector_weights,
-                   scale_name=scale_name, debug=debug, detector_family=detector_family)
+                   scale_name=scale_name, debug=debug, detector_family=detector_family,
+                   amp=amp)
     return predicts_by_detections(
         img_root, det_path, ann_path, pose_model_cfg, weights=pose_weights,
         batch_size=batch_size, input_shape=input_shape, flip_test=flip_test,

@@ -15,7 +15,20 @@ from __future__ import annotations
 from simple_pose_tpu.models.hrnet import build_hrnet
 from simple_pose_tpu.models.resnet import RESNET_SPECS, build_resnet
 
-__all__ = ["build_model", "MODEL_TYPES"]
+__all__ = ["build_model", "MODEL_TYPES", "resolve_amp_dtype"]
+
+
+def resolve_amp_dtype(amp):
+    """'auto' -> bf16 compute on TPU, f32 elsewhere; True/False force it.
+
+    Params always stay float32 (flax compute dtype only); the single source
+    of the amp rule for pose models, detectors and eval workflows."""
+    import jax
+    import jax.numpy as jnp
+
+    if amp == "auto":
+        amp = jax.default_backend() == "tpu"
+    return jnp.bfloat16 if amp else None
 
 MODEL_TYPES = ("pose_resnet_dconv", "pose_resnet_duc", "pose_hrnet")
 

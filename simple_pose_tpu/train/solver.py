@@ -119,7 +119,8 @@ def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), 
             mapped = shard_map(local_gather_crop, mesh=mesh,
                                in_specs=(P("data"), P("data"), P("data")),
                                out_specs=P("data"), check_vma=False)
-        except ImportError:  # older jax
+        except (ImportError, TypeError):  # older jax (no jax.shard_map, or
+            # a version whose shard_map still spells the flag check_rep)
             from jax.experimental.shard_map import shard_map
 
             mapped = shard_map(local_gather_crop, mesh=mesh,

@@ -59,3 +59,17 @@ def test_cli_help(argv):
     r = subprocess.run([sys.executable] + argv, capture_output=True, text=True, cwd=".")
     assert r.returncode == 0, r.stderr
     assert "usage" in r.stdout.lower()
+
+
+def test_resolve_amp_dtype_rules():
+    import jax.numpy as jnp
+
+    from simple_pose_tpu.models.registry import resolve_amp_dtype
+
+    assert resolve_amp_dtype(True) == jnp.bfloat16
+    assert resolve_amp_dtype(False) is None
+    import jax
+
+    expect = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    assert resolve_amp_dtype("auto") == expect or (
+        resolve_amp_dtype("auto") is None and expect is None)

@@ -24,7 +24,6 @@ def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per
     for img_id in range(1, num_images + 1):
         img = rng.integers(0, 255, size=(img_h, img_w, 3), dtype=np.uint8)
         file_name = f"{img_id:012d}.jpg"
-        cv.imwrite(os.path.join(img_root, file_name), img)
         images.append({"id": img_id, "width": img_w, "height": img_h,
                        "coco_url": f"http://x/{file_name}", "file_name": file_name})
         for _ in range(people_per_image):
@@ -38,7 +37,6 @@ def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per
                     color = tuple(int(v) for v in (
                         (j * 15) % 256, (255 - j * 13) % 256, (j * 29 + 64) % 256))
                     cv.circle(img, (int(kp[j, 0]), int(kp[j, 1])), 3, color, -1)
-                cv.imwrite(os.path.join(img_root, file_name), img)
             x0, y0 = kp[:, 0].min() - 5, kp[:, 1].min() - 5
             x1, y1 = kp[:, 0].max() + 5, kp[:, 1].max() + 5
             annotations.append({
@@ -49,6 +47,7 @@ def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per
                 "iscrowd": 0,
             })
             ann_id += 1
+        cv.imwrite(os.path.join(img_root, file_name), img)
     gt = {"images": images, "annotations": annotations,
           "categories": [{"id": 1, "name": "person"}]}
     ann_path = os.path.join(root, "ann.json")
