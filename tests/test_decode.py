@@ -148,3 +148,31 @@ def test_instance_scores():
     s = D.instance_scores(val)
     ref = np.asarray(val)[..., 0].mean(-1) + np.asarray(val)[..., 0].max(-1)
     np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-6)
+
+
+def test_gauss_taylor_adversarial_peaks():
+    """Peaks at/near every border and exact corners: the batched gather must
+    stay in-bounds and borders must pass through undisplaced (the reference
+    only Taylor-refines peaks with 1 < p < size-2)."""
+    h, w = 16, 12
+    spots = [(0, 0), (w - 1, h - 1), (0, h - 1), (w - 1, 0), (1, 1), (2, 2),
+             (w - 3, h - 3), (w - 2, 1), (5, 0), (0, 7), (6, 8)]
+    heat = np.zeros((len(spots), 1, h, w), np.float32)
+    for i, (x, y) in enumerate(spots):
+        heat[i, 0, y, x] = 1.0
+        # small neighborhood mass so blur has structure
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            xx, yy = x + dx, y + dy
+            if 0 <= xx < w and 0 <= yy < h:
+                heat[i, 0, yy, xx] = 0.4
+    tri = np.tile(np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32), (len(spots), 1, 1))
+    kps, conf = D.decode_gauss_taylor(jnp.asarray(heat), jnp.asarray(tri))
+    kps = np.asarray(kps)
+    assert np.all(np.isfinite(kps))
+    for i, (x, y) in enumerate(spots):
+        refinable = 1 < x < w - 2 and 1 < y < h - 2
+        if not refinable:
+            # border peaks: argmax passes through exactly
+            np.testing.assert_allclose(kps[i, 0, :2], [x, y], atol=1e-5)
+        else:
+            assert abs(kps[i, 0, 0] - x) <= 1.0 and abs(kps[i, 0, 1] - y) <= 1.0

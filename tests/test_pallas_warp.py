@@ -67,3 +67,29 @@ def test_pallas_col_block_bit_exact(interpret_pallas):
     blocked = np.asarray(interpret_pallas.affine_crop_pallas(
         jnp.asarray(imgs), jnp.asarray(tr), (256, 192), col_block=96))
     assert np.array_equal(full, blocked)
+
+
+def test_pallas_fuzz_vs_mxu(interpret_pallas):
+    """Property fuzz: random rotations up to the +-40.99 deg band edge,
+    random scales/centers, must track the XLA MXU formulation everywhere
+    (incl. each crop's extreme rows/columns, where a band-undersize bug
+    would surface first)."""
+    rng = np.random.default_rng(7)
+    imgs = np.stack([
+        np.clip(np.kron(rng.uniform(0, 255, (64, 64, 3)), np.ones((8, 8, 1))), 0, 255)
+        .astype(np.uint8) for _ in range(6)
+    ])
+    rots = np.array([-40.99, 40.99, -39.5, 12.3, -0.01, 33.3])
+    tr = np.stack([_mk_trans(rng, r) for r in rots])
+    xla = np.asarray(affine_crop_mxu(jnp.asarray(imgs), jnp.asarray(tr), (256, 192)))
+    pls = np.asarray(
+        interpret_pallas.affine_crop_pallas(jnp.asarray(imgs), jnp.asarray(tr), (256, 192))
+    )
+    assert np.abs(pls - xla).mean() < 0.2
+    assert np.abs(pls - xla).max() < 3.0
+    # band edges: the first/last rows and columns of every crop
+    edges = np.concatenate([
+        (pls - xla)[:, :2].ravel(), (pls - xla)[:, -2:].ravel(),
+        (pls - xla)[:, :, :2].ravel(), (pls - xla)[:, :, -2:].ravel(),
+    ])
+    assert np.abs(edges).max() < 3.0
