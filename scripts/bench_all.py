@@ -1,0 +1,59 @@
+"""Run the complete benchmark matrix and collect one JSON artifact.
+
+    python scripts/bench_all.py            # -> BENCH_ALL.json at the repo root
+
+Sequentially invokes (fresh process each, so programs don't share live
+buffers): the driver bench (flagship train), HRNet-W32 train at its optimal
+batch, the three eval-path benches, both fused detect->pose families, and
+the on-hardware Pallas parity check.  All use the persistent XLA compile
+cache, so a re-run after the first is minutes, not hours.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MATRIX = [
+    (["python", "bench.py"], {}),
+    (["python", "bench.py"], {"BENCH_BATCH": "256", "BENCH_MODEL": "pose_hrnet:w32"}),
+    (["python", "scripts/bench_eval.py"], {}),
+    (["python", "scripts/bench_eval.py", "--model-type", "pose_resnet_duc", "--reduction"], {}),
+    (["python", "scripts/bench_eval.py", "--model-type", "pose_hrnet", "--model-name", "w32"], {}),
+    (["python", "scripts/bench_eval.py", "--flip-test"], {}),
+    (["python", "scripts/bench_fused.py"], {}),
+    (["python", "scripts/bench_fused.py", "--detector-family", "yolov4"], {}),
+    (["python", "scripts/pallas_parity.py"], {}),
+]
+
+
+def main():
+    results = []
+    t0 = time.time()
+    for cmd, env in MATRIX:
+        print("::", " ".join(cmd), env or "", flush=True)
+        proc = subprocess.run(cmd, cwd=ROOT, env={**os.environ, **env},
+                              capture_output=True, text=True)
+        ok = proc.returncode == 0
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        for ln in lines:
+            try:
+                results.append({**json.loads(ln), "cmd": " ".join(cmd), **env})
+            except json.JSONDecodeError:
+                pass
+        if not ok:
+            results.append({"cmd": " ".join(cmd), **env, "error": proc.stderr[-500:]})
+        print(proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "(no output)",
+              flush=True)
+    out = {"wall_s": round(time.time() - t0, 1), "results": results}
+    with open(os.path.join(ROOT, "BENCH_ALL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"wrote": "BENCH_ALL.json", "entries": len(results),
+                      "wall_s": out["wall_s"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,7 @@ from simple_pose_tpu.data.coco import JOINT_PAIRS, load_coco_keypoints, load_det
 from simple_pose_tpu.data.pipeline import RGB_MEAN, DetBoxPipeline, PosePipeline
 from simple_pose_tpu.metrics.cocoeval import evaluate_map
 from simple_pose_tpu.models.registry import build_from_cfg, resolve_amp_dtype
+from simple_pose_tpu.parallel.mesh import host_prefetch
 from simple_pose_tpu.ops.decode import decode_basic, decode_gauss_taylor, instance_scores
 from simple_pose_tpu.ops.oks import oks_nms
 from simple_pose_tpu.ops.warp import affine_crop_separable
@@ -158,7 +159,7 @@ def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                         dedup_canvases=(batch_size // 2) if dedup else 0)
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp)
     results = []
-    for batch in pipe.epoch(0):
+    for batch in host_prefetch(pipe.epoch(0)):
         out = ev(batch)
         kps = np.asarray(out["kps"])
         conf = np.asarray(out["conf"])
@@ -184,7 +185,7 @@ def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weig
                           dedup_canvases=(batch_size // 2) if dedup else 0)
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp)
     predictions = []
-    for batch in pipe.epoch(0):
+    for batch in host_prefetch(pipe.epoch(0)):
         out = ev(batch)
         kps = np.asarray(out["kps"])
         conf = np.asarray(out["conf"])

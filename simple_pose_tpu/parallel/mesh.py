@@ -58,6 +58,25 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return jax.device_put(batch, sharding)
 
 
+def host_prefetch(batches, device_keys=("canvas", "canvas_idx", "trans", "trans_inv"),
+                  depth: int = 2):
+    """Single-device variant of device_prefetch: asynchronously device_put
+    the device-consumed keys of each batch ``depth`` ahead, so the H2D
+    transfer of batch i+1 overlaps the device step on batch i.  Host-side
+    keys (img_id, valid, score, ...) pass through untouched."""
+    import jax
+    from collections import deque
+
+    buf = deque()
+    for b in batches:
+        staged = {k: (jax.device_put(v) if k in device_keys else v) for k, v in b.items()}
+        buf.append(staged)
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def device_prefetch(batches, mesh: Mesh, depth: int = 2, axis: str = "data"):
     """Double-buffered host->device staging: keep ``depth`` batches in
     flight so the (asynchronous) device_put transfer of batch i+1 overlaps

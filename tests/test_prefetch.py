@@ -77,3 +77,29 @@ def test_detbox_area_score_alignment_under_sharding(tmp_path_factory):
                 rec = records[int(batch["img_id"][k]) - 1]
                 np.testing.assert_allclose(batch["area"][k], expected_area(rec), rtol=1e-5)
                 np.testing.assert_allclose(batch["score"][k], rec.score, rtol=1e-6)
+
+
+def test_host_prefetch_order_and_staging():
+    """host_prefetch must preserve batch order, stage only device keys, and
+    keep exactly `depth` batches in flight."""
+    import jax
+    import numpy as np
+
+    from simple_pose_tpu.parallel.mesh import host_prefetch
+
+    pulled = []
+
+    def gen():
+        for i in range(5):
+            pulled.append(i)
+            yield {"canvas": np.full((2, 2), i, np.uint8), "img_id": np.array([i])}
+
+    it = host_prefetch(gen(), depth=2)
+    first = next(it)
+    # depth=2: producing the first output required pulling 2 source batches
+    assert pulled == [0, 1]
+    assert int(np.asarray(first["canvas"])[0, 0]) == 0
+    assert isinstance(first["canvas"], jax.Array)
+    assert isinstance(first["img_id"], np.ndarray)  # host key untouched
+    rest = list(it)
+    assert [int(np.asarray(b["canvas"])[0, 0]) for b in [first] + rest] == list(range(5))
