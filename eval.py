@@ -11,6 +11,15 @@ import argparse
 import json
 
 
+def _mesh(args):
+    n = getattr(args, "mesh_devices", 0)
+    if not n:
+        return None
+    from simple_pose_tpu.parallel.mesh import make_mesh
+
+    return make_mesh({"data": n})
+
+
 def _model_cfg(args):
     return {
         "type": args.model_type,
@@ -29,13 +38,16 @@ def main():
         p.add_argument("--ann", required=True, help="person_keypoints_val2017.json")
         p.add_argument("--batch-size", type=int, default=32)
         p.add_argument("--debug", type=int, default=0)
+        p.add_argument("--mesh-devices", type=int, default=0,
+                       help="shard the eval batch over N devices (-1 = all; 0 = single-device)")
         if model:
             p.add_argument("--model-type", default="pose_resnet_dconv")
             p.add_argument("--model-name", default="resnet50")
             p.add_argument("--num-joints", type=int, default=17)
             p.add_argument("--reduction", action="store_true")
             p.add_argument("--weights", default=None)
-            p.add_argument("--decoder", default="gauss_taylor", choices=["basic", "gauss_taylor"])
+            p.add_argument("--decoder", default="gauss_taylor",
+                           choices=["basic", "gauss_taylor", "dark_original"])
             p.add_argument("--flip-test", action="store_true")
             p.add_argument("--no-amp", action="store_true",
                            help="force float32 compute (default: bf16 on TPU)")
@@ -81,14 +93,14 @@ def main():
             args.img_root, args.ann, _model_cfg(args), weights=args.weights,
             batch_size=args.batch_size, decoder=args.decoder,
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
-            amp=False if args.no_amp else "auto",
+            amp=False if args.no_amp else "auto", mesh=_mesh(args),
         )
     elif args.cmd == "detections":
         stats = evalkit.predicts_by_detections(
             args.img_root, args.dets, args.ann, _model_cfg(args), weights=args.weights,
             batch_size=args.batch_size, decoder=args.decoder,
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
-            amp=False if args.no_amp else "auto",
+            amp=False if args.no_amp else "auto", mesh=_mesh(args),
         )
     elif args.cmd == "gen-dets":
         from simple_pose_tpu.evalkit.workflows import gen_detections
@@ -98,7 +110,7 @@ def main():
                        weights_path=args.det_weights, scale_name=args.scale_name,
                        batch_size=args.batch_size, debug=args.debug,
                        detector_family=args.detector_family, canvas=args.canvas,
-                       amp=False if args.no_amp else "auto")
+                       amp=False if args.no_amp else "auto", mesh=_mesh(args))
         print(f"wrote {args.out}")
         return
     elif args.cmd == "rescore":
@@ -111,7 +123,7 @@ def main():
             detector_weights=args.det_weights, scale_name=args.scale_name,
             batch_size=args.batch_size, flip_test=args.flip_test, debug=args.debug,
             detector_family=args.detector_family,
-            amp=False if args.no_amp else "auto",
+            amp=False if args.no_amp else "auto", mesh=_mesh(args),
         )
     print(json.dumps({k: round(float(v), 4) for k, v in stats.items()}, indent=2))
 

@@ -26,7 +26,25 @@ from simple_pose_tpu.detector.nms import non_max_suppression_jit
 from simple_pose_tpu.detector.yolov5 import YOLOv5
 from simple_pose_tpu.ops.warp import affine_crop_separable
 
-__all__ = ["letterbox_params", "slice_person_head", "YOLOv5Detector", "PersonDetector"]
+__all__ = ["letterbox_params", "paste_with_border", "slice_person_head",
+           "YOLOv5Detector", "PersonDetector"]
+
+
+def paste_with_border(canvas: np.ndarray, img: np.ndarray):
+    """Paste ``img`` at the canvas origin and replicate a 1px border so the
+    device letterbox's edge taps clamp like cv2.resize instead of bleeding
+    into the zero padding.  Shared by single_predict and gen_detections so
+    both detection paths see identical canvas pixels.
+
+    :returns: (ch, cw) pasted extent."""
+    ch = min(img.shape[0], canvas.shape[0])
+    cw = min(img.shape[1], canvas.shape[1])
+    canvas[:ch, :cw] = img[:ch, :cw]
+    if ch < canvas.shape[0]:
+        canvas[ch, :cw] = canvas[ch - 1, :cw]
+    if cw < canvas.shape[1]:
+        canvas[:ch + 1, cw] = canvas[:ch + 1, cw - 1]
+    return ch, cw
 
 
 def letterbox_params(h, w, target=(640, 640), scale_up=True):
@@ -86,16 +104,18 @@ class YOLOv5Detector:
                  scale_name: str = "l", scale_size: Tuple[int, int] = (640, 640),
                  iou_thresh: float = 0.6, conf_thresh: float = 0.001,
                  slice_idx: int = 0, canvas: int = 1280,
-                 model_family: str = "yolov5", amp="auto"):
+                 model_family: str = "yolov5", amp="auto", mesh=None):
+        self.mesh = mesh  # optional Mesh: batch axis sharded over 'data'
         self.scale_size = scale_size
         self.iou_thresh = iou_thresh
         self.conf_thresh = conf_thresh
         self.canvas = canvas
         self.num_cls = num_cls if slice_idx < 0 else 1
-        # bf16 compute on TPU (params f32; the head decodes boxes in f32)
-        if amp == "auto":
-            amp = jax.default_backend() == "tpu"
-        dtype = jnp.bfloat16 if amp else None
+        # bf16 compute on TPU (params f32; the head decodes boxes in f32);
+        # same amp rule as the pose models (registry.resolve_amp_dtype)
+        from simple_pose_tpu.models.registry import resolve_amp_dtype
+
+        dtype = resolve_amp_dtype(amp)
         if model_family == "yolov5":
             self.model = YOLOv5(num_cls=self.num_cls, scale_name=scale_name, dtype=dtype)
         elif model_family == "yolov4":
@@ -139,6 +159,10 @@ class YOLOv5Detector:
             return self.model.apply(variables, x)
 
         self._forward = jax.jit(forward)
+        if mesh is not None:
+            from simple_pose_tpu.parallel.mesh import replicated
+
+            self.variables = jax.device_put(self.variables, replicated(mesh))
 
     def predict_batch(self, canvases_u8, shapes, merge=True, max_det=300):
         """:param canvases_u8: [B, canvas, canvas, 3] uint8 BGR, images pasted
@@ -155,7 +179,15 @@ class YOLOv5Detector:
             trans[i] = _letterbox_trans(r, left, top)
             region[i] = [left, top, left + new_w, top + new_h]
             params.append((r, left, top))
-        pred = self._forward(self.variables, jnp.asarray(canvases_u8), jnp.asarray(trans), jnp.asarray(region))
+        batch_args = (np.asarray(canvases_u8), trans, region)
+        if self.mesh is not None:
+            from simple_pose_tpu.parallel.mesh import batch_sharding
+
+            batch_args = tuple(
+                jax.device_put(a, batch_sharding(self.mesh)) for a in batch_args)
+        else:
+            batch_args = tuple(jnp.asarray(a) for a in batch_args)
+        pred = self._forward(self.variables, *batch_args)
         dets, valid = non_max_suppression_jit(
             pred, conf_thresh=self.conf_thresh, iou_thresh=self.iou_thresh,
             max_det=max_det, multi_label=True, merge=merge,
@@ -179,14 +211,7 @@ class YOLOv5Detector:
         [n, 6] boxes in original pixel coords out."""
         h, w = img_bgr.shape[:2]
         canvas = np.zeros((self.canvas, self.canvas, 3), np.uint8)
-        ch, cw = min(h, self.canvas), min(w, self.canvas)
-        canvas[:ch, :cw] = img_bgr[:ch, :cw]
-        # replicate a 1px border so edge taps clamp like cv2.resize instead
-        # of bleeding into the zero padding
-        if ch < self.canvas:
-            canvas[ch, :cw] = canvas[ch - 1, :cw]
-        if cw < self.canvas:
-            canvas[:ch + 1, cw] = canvas[:ch + 1, cw - 1]
+        paste_with_border(canvas, img_bgr)
         return self.predict_batch(canvas[None], [(h, w)])[0]
 
 

@@ -36,10 +36,15 @@ class FusedDetectPose:
                  detector_weights: Optional[str] = None, scale_name: str = "l",
                  det_size=(640, 640), input_shape=(192, 256), max_people: int = 16,
                  det_conf: float = 0.25, det_iou: float = 0.5, decoder: str = "gauss_taylor",
-                 canvas: int = 1280, detector_family: str = "yolov5", amp="auto"):
+                 canvas: int = 1280, detector_family: str = "yolov5", amp="auto",
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh -- shards the image batch over the
+        'data' axis so the fused program uses every chip of a slice (image
+        batch must divide by the data-axis size; weights are replicated)."""
         self.canvas = canvas
         self.det_size = det_size
         self.max_people = max_people
+        self.mesh = mesh
         self.detector = YOLOv5Detector(
             weights_path=detector_weights, scale_name=scale_name, scale_size=det_size,
             conf_thresh=det_conf, iou_thresh=det_iou, canvas=canvas,
@@ -88,6 +93,11 @@ class FusedDetectPose:
             }
 
         self._program = jax.jit(program)
+        if mesh is not None:
+            from simple_pose_tpu.parallel.mesh import replicated
+
+            self.detector.variables = jax.device_put(self.detector.variables, replicated(mesh))
+            self.pose_vars = jax.device_put(self.pose_vars, replicated(mesh))
 
     def host_prep(self, shapes):
         """Per-image letterbox geometry (host side): returns
@@ -110,9 +120,13 @@ class FusedDetectPose:
         :param shapes: [(h, w)] true image sizes
         :returns: dict of numpy arrays; entries masked by det_valid"""
         lb_trans, lb_region, lb_inv_scale, lb_offset = self.host_prep(shapes)
-        out = self._program(
-            self.detector.variables, self.pose_vars, jnp.asarray(canvases_u8),
-            jnp.asarray(lb_trans), jnp.asarray(lb_region),
-            jnp.asarray(lb_inv_scale), jnp.asarray(lb_offset),
-        )
+        batch_args = (canvases_u8, lb_trans, lb_region, lb_inv_scale, lb_offset)
+        if self.mesh is not None:
+            from simple_pose_tpu.parallel.mesh import batch_sharding
+
+            batch_args = tuple(
+                jax.device_put(np.asarray(a), batch_sharding(self.mesh)) for a in batch_args)
+        else:
+            batch_args = tuple(jnp.asarray(a) for a in batch_args)
+        out = self._program(self.detector.variables, self.pose_vars, *batch_args)
         return {k: np.asarray(v) for k, v in out.items()}

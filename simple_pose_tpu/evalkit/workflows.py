@@ -110,25 +110,52 @@ def load_model_variables(model_cfg: dict, weights: Optional[str], crop_shape, dt
 
 
 class PoseEvaluator:
-    """Jitted batched crop -> forward -> (flip-test) -> decode."""
+    """Jitted batched crop -> forward -> (flip-test) -> decode.
+
+    mesh: optional jax.sharding.Mesh -- shards the batch axis over the
+    'data' axis so the eval program uses every chip of a slice (the solver's
+    validate sharding applied to the standalone workflows; the reference's
+    eval is single-GPU, eval.py:101-150).  Batch size must divide by the
+    data-axis size."""
+
+    # keys the jitted step consumes; everything else in a batch dict is
+    # host-side metadata and never crosses H2D
+    _DEVICE_KEYS = ("canvas", "canvas_idx", "trans", "trans_inv")
 
     def __init__(self, model_cfg: dict, weights: Optional[str] = None,
                  input_shape=(192, 256), decoder: str = "gauss_taylor",
-                 flip_test: bool = False, amp="auto"):
+                 flip_test: bool = False, amp="auto", mesh=None):
         self.crop_shape = (input_shape[1], input_shape[0])
         self.out_shape = (input_shape[1] // 4, input_shape[0] // 4)
+        self.mesh = mesh
         self.model, self.variables = load_model_variables(
             model_cfg, weights, self.crop_shape, dtype=resolve_amp_dtype(amp))
+        if mesh is not None:
+            from simple_pose_tpu.parallel.mesh import replicated
+
+            self.variables = jax.device_put(self.variables, replicated(mesh))
         self.num_joints = model_cfg.get("num_joints", 17)
         self.flip_test = flip_test
+        # 'dark_original' = the reference's third public decoder
+        # (DarkPoseOriginalKeyPointDecoder, pose_metrics.py:110-169): host-
+        # side loop numpy; the jitted program then stops at the heatmaps.
+        self._host_decode = decoder == "dark_original"
         decode = decode_basic if decoder == "basic" else decode_gauss_taylor
         flip_perm = jnp.asarray(_flip_perm(self.num_joints))
 
+        crop_fn = lambda c, t: affine_crop_separable(c, t, self.crop_shape)
+
         def step(variables, batch):
-            canvases = batch["canvas"]
             if "canvas_idx" in batch:  # dedup'd batch: one canvas per image
-                canvases = canvases[batch["canvas_idx"]]
-            crops = affine_crop_separable(canvases, batch["trans"], self.crop_shape)
+                if mesh is not None:
+                    from simple_pose_tpu.parallel.mesh import bucketed_gather_crop
+
+                    crops = bucketed_gather_crop(crop_fn, mesh)(
+                        batch["canvas"], batch["trans"], batch["canvas_idx"])
+                else:
+                    crops = crop_fn(batch["canvas"][batch["canvas_idx"]], batch["trans"])
+            else:
+                crops = crop_fn(batch["canvas"], batch["trans"])
             x = crops / 255.0 - RGB_MEAN
             heat = self.model.apply(variables, x).transpose(0, 3, 1, 2).astype(jnp.float32)
             if flip_test:
@@ -138,28 +165,63 @@ class PoseEvaluator:
                 # SimpleBaselines convention: shift flipped maps 1px right
                 hf = jnp.concatenate([hf[..., :1], hf[..., :-1]], axis=-1)
                 heat = (heat + hf) * 0.5
+            if self._host_decode:
+                return {"heat": heat}
             kps, conf = decode(heat, batch["trans_inv"])
             return {"kps": kps, "conf": conf, "scores": instance_scores(conf)}
 
         self._step = jax.jit(step)
 
     def __call__(self, batch):
-        return self._step(self.variables, batch)
+        dev = {k: batch[k] for k in self._DEVICE_KEYS if k in batch}
+        if self.mesh is not None:
+            from simple_pose_tpu.parallel.mesh import shard_batch
+
+            dev = shard_batch(dev, self.mesh)
+        out = self._step(self.variables, dev)
+        if self._host_decode:
+            from simple_pose_tpu.ops.decode import decode_dark_original
+
+            kps, conf = decode_dark_original(np.asarray(out["heat"]), batch["trans_inv"])
+            scores = conf[..., 0].mean(-1) + conf[..., 0].max(-1)
+            return {"kps": kps, "conf": conf, "scores": scores}
+        return out
+
+
+def _dedup_plan(batch_size: int, dedup: bool, mesh) -> dict:
+    """Canvas-dedup pipeline kwargs, bucketed per mesh data-axis shard so the
+    bucket-local gather stays device-local (parallel/mesh.bucketed_gather_crop)."""
+    if not dedup:
+        return {}
+    n_buckets = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    per_bucket = max(1, (batch_size // 2) // n_buckets)
+    return {"dedup_canvases": per_bucket * n_buckets, "dedup_buckets": n_buckets}
+
+
+def _eval_prefetch(batches, mesh):
+    """Prefetched batch stream for the eval loops: mesh-sharded staging when
+    a mesh is given, plain async device_put otherwise."""
+    if mesh is not None:
+        from simple_pose_tpu.parallel.mesh import device_prefetch
+
+        return device_prefetch(batches, mesh, device_keys=PoseEvaluator._DEVICE_KEYS)
+    return host_prefetch(batches)
 
 
 def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                    input_shape=(192, 256), decoder="gauss_taylor", flip_test=False,
                    out_path="test_gt_kpt.json", canvas=640, debug=0, dedup=True,
-                   amp="auto"):
+                   amp="auto", mesh=None):
     """GT-box eval (eval.py:30-66).  Returns the stats dict."""
     records = load_coco_keypoints(img_root, ann_path, debug=debug)
     pipe = PosePipeline(records, batch_size, input_shape=input_shape,
                         output_shape=(input_shape[0] // 4, input_shape[1] // 4),
                         canvas=canvas, augment=False, shuffle=False, drop_last=False,
-                        dedup_canvases=(batch_size // 2) if dedup else 0)
-    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp)
+                        **_dedup_plan(batch_size, dedup, mesh))
+    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
+                       mesh=mesh)
     results = []
-    for batch in host_prefetch(pipe.epoch(0)):
+    for batch in _eval_prefetch(pipe.epoch(0), mesh):
         out = ev(batch)
         kps = np.asarray(out["kps"])
         conf = np.asarray(out["conf"])
@@ -174,18 +236,19 @@ def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
 def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weights=None,
                            batch_size=32, input_shape=(192, 256), decoder="gauss_taylor",
                            flip_test=False, out_path="predicts_kps_temp.json", canvas=640,
-                           in_vis_thre=0.2, oks_thre=0.9, debug=0, dedup=True, amp="auto"):
+                           in_vis_thre=0.2, oks_thre=0.9, debug=0, dedup=True, amp="auto",
+                           mesh=None):
     """Detector-box eval + OKS-NMS rescoring (eval.py:101-150 + 153-197).
 
     Returns the stats dict of the rescored/filtered predictions."""
     records = load_detection_boxes(img_root, det_json_path, debug=debug)
     pipe = DetBoxPipeline(records, batch_size, input_shape=input_shape,
                           output_shape=(input_shape[0] // 4, input_shape[1] // 4),
-                          canvas=canvas,
-                          dedup_canvases=(batch_size // 2) if dedup else 0)
-    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp)
+                          canvas=canvas, **_dedup_plan(batch_size, dedup, mesh))
+    ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
+                       mesh=mesh)
     predictions = []
-    for batch in host_prefetch(pipe.epoch(0)):
+    for batch in _eval_prefetch(pipe.epoch(0), mesh):
         out = ev(batch)
         kps = np.asarray(out["kps"])
         conf = np.asarray(out["conf"])
@@ -251,7 +314,7 @@ def rescore_and_filter(predictions, gt_ann_path, in_vis_thre=0.2, oks_thre=0.9,
 def gen_detections(img_root, ann_path, detector=None, out_path="person_detections.json",
                    batch_size=8, conf_thresh=0.25, iou_thresh=0.5, canvas=1280,
                    weights_path=None, scale_name="l", debug=0,
-                   detector_family="yolov5", amp="auto"):
+                   detector_family="yolov5", amp="auto", mesh=None):
     """Run the person detector over the val images and dump a COCO-format
     detection json consumable by predicts_by_detections
     (gen_data_by_detector parity, eval.py:69-98; the output format is the
@@ -260,12 +323,12 @@ def gen_detections(img_root, ann_path, detector=None, out_path="person_detection
     """
     import cv2 as cv
 
-    from simple_pose_tpu.detector.wrapper import YOLOv5Detector
+    from simple_pose_tpu.detector.wrapper import YOLOv5Detector, paste_with_border
 
     if detector is None:
         detector = YOLOv5Detector(weights_path=weights_path, scale_name=scale_name,
                                   conf_thresh=conf_thresh, iou_thresh=iou_thresh, canvas=canvas,
-                                  model_family=detector_family, amp=amp)
+                                  model_family=detector_family, amp=amp, mesh=mesh)
     with open(ann_path) as rf:
         images = json.load(rf)["images"]
     if debug:
@@ -279,8 +342,9 @@ def gen_detections(img_root, ann_path, detector=None, out_path="person_detection
             file_name = entry.get("coco_url", entry.get("file_name", "")).split("/")[-1]
             img = cv.imread(os.path.join(img_root, file_name))
             h, w = img.shape[:2]
-            ch, cw = min(h, canvas), min(w, canvas)
-            canvases[i, :ch, :cw] = img[:ch, :cw]
+            # same prep as single_predict (incl. the 1px replicate border so
+            # letterbox edge taps clamp like cv2.resize)
+            paste_with_border(canvases[i], img)
             shapes.append((h, w))
         if len(chunk) < batch_size:  # keep jit shapes fixed
             pad = batch_size - len(chunk)
@@ -302,16 +366,17 @@ def gen_detections(img_root, ann_path, detector=None, out_path="person_detection
 def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
                      detector_weights=None, scale_name="l", det_conf=0.25, det_iou=0.5,
                      batch_size=32, input_shape=(192, 256), flip_test=False,
-                     work_dir=".", debug=0, detector_family="yolov5", amp="auto"):
+                     work_dir=".", debug=0, detector_family="yolov5", amp="auto",
+                     mesh=None):
     """End-to-end detect -> crop -> pose -> rescoring AP
     (README.md:94-106 workflow; BASELINE.json config #5)."""
     det_path = os.path.join(work_dir, "person_detections.json")
     gen_detections(img_root, ann_path, out_path=det_path, conf_thresh=det_conf,
                    iou_thresh=det_iou, weights_path=detector_weights,
                    scale_name=scale_name, debug=debug, detector_family=detector_family,
-                   amp=amp)
+                   amp=amp, mesh=mesh)
     return predicts_by_detections(
         img_root, det_path, ann_path, pose_model_cfg, weights=pose_weights,
         batch_size=batch_size, input_shape=input_shape, flip_test=flip_test,
-        out_path=os.path.join(work_dir, "predicts_kps_temp.json"), amp=amp,
+        out_path=os.path.join(work_dir, "predicts_kps_temp.json"), amp=amp, mesh=mesh,
     )

@@ -28,6 +28,7 @@ __all__ = [
     "heatmap_to_coords",
     "decode_basic",
     "decode_gauss_taylor",
+    "decode_dark_original",
     "apply_trans_inv",
 ]
 
@@ -173,6 +174,66 @@ def decode_gauss_taylor(heat, trans_inv, ksize: int = 11):
         update[..., None], jnp.stack([new_x, new_y], axis=-1), coords
     )
     return apply_trans_inv(coords, trans_inv), max_val
+
+
+def decode_dark_original(heat, trans_inv, ksize: int = 11):
+    """Host-side DarkPose decoder: behavior of the reference's third public
+    decoder, DarkPoseOriginalKeyPointDecoder (pose_metrics.py:110-169).
+
+    Kept as loop numpy/cv2 deliberately -- it is the published DarkPose
+    reference algorithm, exposed (decoder='dark_original' in the eval
+    workflows) so the batched on-device ``decode_gauss_taylor`` can be
+    cross-checked against it on real data.  Differences from the batched
+    decoder that make it NOT bit-identical: cv2.GaussianBlur on a
+    zero-padded float64 map, and the Taylor offset is applied WITHOUT the
+    clamp-to->=0 that the batched variant carries over from
+    GaussTaylorKeyPointDecoder (pose_metrics.py:99 vs :131).
+    """
+    import cv2 as cv
+
+    heat = np.asarray(heat, dtype=np.float32)
+    trans_inv = np.asarray(trans_inv, dtype=np.float32)
+    b, c, h, w = heat.shape
+    flat = heat.reshape(b, c, -1)
+    peak_idx = flat.argmax(-1)
+    max_val = flat.max(-1)
+    coords = np.stack([(peak_idx % w).astype(np.float32),
+                       np.floor(peak_idx / w).astype(np.float32)], axis=-1)
+    coords *= (max_val > 0)[..., None]
+
+    pad = (ksize - 1) // 2
+    # f64 blur on a zero-padded map, downcast to f32 BEFORE the renorm and
+    # log (the reference round-trips through a float32 array there)
+    logmaps = np.empty((b, c, h, w), dtype=np.float32)
+    for i in range(b):
+        for j in range(c):
+            padded = np.zeros((h + 2 * pad, w + 2 * pad))
+            padded[pad:-pad, pad:-pad] = heat[i, j]
+            blurred = cv.GaussianBlur(padded, (ksize, ksize), 0)[pad:-pad, pad:-pad]
+            blurred = blurred.astype(np.float32)
+            blurred *= heat[i, j].max() / blurred.max()
+            logmaps[i, j] = np.log(np.maximum(blurred, np.float32(1e-10)))
+
+    for i in range(b):
+        for j in range(c):
+            px, py = int(coords[i, j, 0]), int(coords[i, j, 1])
+            if not (1 < px < w - 2 and 1 < py < h - 2):
+                continue
+            lm = logmaps[i, j]
+            gx = 0.5 * (lm[py, px + 1] - lm[py, px - 1])
+            gy = 0.5 * (lm[py + 1, px] - lm[py - 1, px])
+            gxx = 0.25 * (lm[py, px + 2] - 2 * lm[py, px] + lm[py, px - 2])
+            gxy = 0.25 * (lm[py + 1, px + 1] - lm[py - 1, px + 1]
+                          - lm[py + 1, px - 1] + lm[py - 1, px - 1])
+            gyy = 0.25 * (lm[py + 2, px] - 2 * lm[py, px] + lm[py - 2, px])
+            det = gxx * gyy - gxy * gxy
+            if det != 0.0:
+                # -H^-1 @ grad, closed form
+                coords[i, j, 0] += -(gyy * gx - gxy * gy) / det
+                coords[i, j, 1] += -(-gxy * gx + gxx * gy) / det
+
+    xyz = np.concatenate([coords, np.ones_like(coords[..., :1])], axis=-1)
+    return np.einsum("bcd,bad->bca", xyz, trans_inv), max_val[..., None]
 
 
 def instance_scores(max_val):

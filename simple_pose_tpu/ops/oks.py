@@ -1,9 +1,16 @@
 """OKS (Object Keypoint Similarity) IoU and greedy OKS-NMS.
 
-Behavioral parity with datasets/naive_data.py:120-173 (vectorized oks_iou /
-oks_nms used by the detector-box rescoring workflow, eval.py:182).  Runs on
-host numpy: candidate counts per image are tiny (<=20 after maxDets) and the
-greedy loop is inherently sequential.
+Behavioral parity with datasets/naive_data.py:120-173 (the vectorized
+OKS + greedy suppression used by the detector-box rescoring workflow,
+eval.py:182).  Runs on host numpy: candidate counts per image are tiny
+(<=20 after maxDets) and the greedy loop is inherently sequential.
+
+Formulation: for a kept pose g and candidates D, per-joint squared error
+is scaled by the COCO falloff variances and by the *pairwise mean area*
+(area_g + area_d)/2 -- the reference's convention, which differs from
+pycocotools' gt-area-only scaling -- then OKS = mean(exp(-e)) over the
+contributing joints.  With a visibility threshold, only joints confident
+in BOTH poses contribute (and the mean is over those joints).
 """
 
 from __future__ import annotations
@@ -19,44 +26,46 @@ COCO_SIGMAS = (
 )
 
 
-def oks_iou(pick_kps, candi_kps, pick_area, candi_area, sigmas=None, in_vis_thresh=None):
-    """OKS between one pose and a set of candidate poses.
+def oks_iou(ref_pose, others, ref_area, other_areas, sigmas=None, in_vis_thresh=None):
+    """OKS of one reference pose against a stack of others.
 
-    :param pick_kps: [K, 3] (x, y, conf)
-    :param candi_kps: [N, K, 3]
-    :param pick_area: scalar area of the picked pose
-    :param candi_area: [N] candidate areas
-    :param in_vis_thresh: if set, only joints where both confidences exceed
-        the threshold contribute.
-    :returns: [N] OKS values.  Mirrors datasets/naive_data.py:120-150.
+    :param ref_pose: [K, 3] (x, y, conf)
+    :param others: [N, K, 3]
+    :param ref_area: scalar area of the reference pose's box
+    :param other_areas: [N]
+    :param in_vis_thresh: if set, a joint contributes only when its
+        confidence exceeds the threshold in BOTH poses.
+    :returns: [N] OKS values (behavior of datasets/naive_data.py:120-150).
     """
     if sigmas is None:
         sigmas = COCO_SIGMAS
-    var = (np.asarray(sigmas) * 2.0) ** 2
-    xg, yg, vg = pick_kps[:, 0], pick_kps[:, 1], pick_kps[:, 2]
-    xds, yds, vds = candi_kps[..., 0], candi_kps[..., 1], candi_kps[..., 2]
-    dx = xds - xg
-    dy = yds - yg
-    e = (dx**2 + dy**2) / var / ((pick_area + candi_area)[:, None] / 2.0 + 1e-12) / 2.0
-    vd_vis = np.ones_like(vds, dtype=np.float32)
-    if in_vis_thresh is not None:
-        vg_vis = np.tile((vg > in_vis_thresh)[None, :], (vds.shape[0], 1))
-        vd_vis = ((vds > in_vis_thresh) & vg_vis).astype(np.float32)
-    return (np.exp(-e) * vd_vis).sum(-1) / (vd_vis.sum(-1) + 1e-12)
+    others = np.asarray(others, dtype=np.float64)
+    falloff_var = 2.0 * np.square(2.0 * np.asarray(sigmas))  # [K]
+    scale = (np.asarray(other_areas, dtype=np.float64) + ref_area) / 2.0 + 1e-12  # [N]
+    sq_dist = np.sum(np.square(others[..., :2] - ref_pose[None, :, :2]), axis=-1)  # [N, K]
+    err = sq_dist / (falloff_var[None, :] * scale[:, None])
+    if in_vis_thresh is None:
+        contributes = np.ones(others.shape[:2], dtype=np.float64)
+    else:
+        contributes = (
+            (others[..., 2] > in_vis_thresh) & (ref_pose[None, :, 2] > in_vis_thresh)
+        ).astype(np.float64)
+    return np.sum(np.exp(-err) * contributes, axis=-1) / (np.sum(contributes, axis=-1) + 1e-12)
 
 
 def oks_nms(kps, scores, areas, thresh, sigmas=None, in_vis_thresh=None):
     """Greedy OKS-NMS; returns indices of kept poses (score-descending).
 
-    Mirrors datasets/naive_data.py:153-173."""
-    order = np.asarray(scores).argsort()[::-1]
+    Behavior of datasets/naive_data.py:153-173: repeatedly keep the highest-
+    scoring remaining pose and drop every candidate whose OKS against it
+    exceeds ``thresh``."""
+    remaining = np.asarray(scores).argsort()[::-1]
     keep = []
-    while order.size > 0:
-        pick = order[0]
-        keep.append(int(pick))
-        order = order[1:]
-        if order.size == 0:
+    while remaining.size > 0:
+        top, remaining = remaining[0], remaining[1:]
+        keep.append(int(top))
+        if remaining.size == 0:
             break
-        ovr = oks_iou(kps[pick], kps[order], areas[pick], areas[order], sigmas, in_vis_thresh)
-        order = order[ovr <= thresh]
+        sim = oks_iou(kps[top], kps[remaining], areas[top], areas[remaining], sigmas, in_vis_thresh)
+        remaining = remaining[sim <= thresh]
     return keep

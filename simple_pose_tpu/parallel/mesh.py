@@ -20,7 +20,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "device_prefetch"]
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "device_prefetch",
+           "bucketed_gather_crop"]
 
 
 def make_mesh(mesh_spec: Optional[dict] = None, devices=None) -> Mesh:
@@ -58,6 +59,31 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return jax.device_put(batch, sharding)
 
 
+def bucketed_gather_crop(crop_fn, mesh: Mesh, axis: str = "data"):
+    """shard_map'd (canvas, trans, idx) -> crops for canvas-dedup batches.
+
+    The pipeline packs crops and their source canvases into per-device
+    buckets with bucket-LOCAL slot indices, so each device gathers only from
+    its own canvas shard -- dedup adds zero cross-device traffic.  Shared by
+    the train step and the mesh-sharded eval workflows."""
+    def local_gather_crop(canvas, trans, idx):
+        return crop_fn(canvas[idx], trans)
+
+    specs = dict(in_specs=(P(axis), P(axis), P(axis)), out_specs=P(axis))
+    try:
+        from jax import shard_map
+
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation, which the default check rejects (the gather+crop is
+        # trivially per-shard -- nothing is replicated)
+        return shard_map(local_gather_crop, mesh=mesh, check_vma=False, **specs)
+    except (ImportError, TypeError):  # older jax (no jax.shard_map, or a
+        # version whose shard_map still spells the flag check_rep)
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(local_gather_crop, mesh=mesh, check_rep=False, **specs)
+
+
 def host_prefetch(batches, device_keys=("canvas", "canvas_idx", "trans", "trans_inv"),
                   depth: int = 2):
     """Single-device variant of device_prefetch: asynchronously device_put
@@ -77,16 +103,26 @@ def host_prefetch(batches, device_keys=("canvas", "canvas_idx", "trans", "trans_
         yield buf.popleft()
 
 
-def device_prefetch(batches, mesh: Mesh, depth: int = 2, axis: str = "data"):
+def device_prefetch(batches, mesh: Mesh, depth: int = 2, axis: str = "data",
+                    device_keys=None):
     """Double-buffered host->device staging: keep ``depth`` batches in
     flight so the (asynchronous) device_put transfer of batch i+1 overlaps
     the device step consuming batch i -- the replacement for the
-    DataLoader's pin_memory + non_blocking copy idiom."""
+    DataLoader's pin_memory + non_blocking copy idiom.
+
+    device_keys: if given, only these keys are staged/sharded; the rest
+    (host-side metadata like img_id/valid) pass through as numpy."""
     from collections import deque
 
     buf = deque()
     for b in batches:
-        buf.append(shard_batch(b, mesh, axis))
+        if device_keys is None:
+            staged = shard_batch(b, mesh, axis)
+        else:
+            staged = dict(b)
+            staged.update(shard_batch(
+                {k: b[k] for k in device_keys if k in b}, mesh, axis))
+        buf.append(staged)
         if len(buf) >= depth:
             yield buf.popleft()
     while buf:

@@ -28,6 +28,9 @@ class DataConfig:
     debug: int = 0
     canvas: int = 640
     input_shape: Tuple[int, int] = (192, 256)  # (w, h) like the reference
+    # drop records whose keypoint centroid is inconsistent with the box
+    # center (datasets/coco.py:96-122; the reference also defaults this off)
+    check_center: bool = False
     # heatmap target encoding: 'unbiased' (RefineSimpleTransform,
     # commons/transforms.py:167-191) or 'biased' (BasicSimpleTransform,
     # commons/transforms.py:80-116)

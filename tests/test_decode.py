@@ -176,3 +176,18 @@ def test_gauss_taylor_adversarial_peaks():
             np.testing.assert_allclose(kps[i, 0, :2], [x, y], atol=1e-5)
         else:
             assert abs(kps[i, 0, 0] - x) <= 1.0 and abs(kps[i, 0, 1] - y) <= 1.0
+
+
+def test_dark_original_decoder_matches_oracle():
+    """ops.decode_dark_original is the selectable host-side decoder
+    (pose_metrics.py:110-169); it must match the loop oracle."""
+    rng = np.random.default_rng(4)
+    heat = _rand_heatmaps(rng)
+    ti = _rand_trans_inv(rng, heat.shape[0])
+    got, gval = D.decode_dark_original(heat, ti)
+    ref, rval = _oracle_gauss_taylor(heat, ti)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gval)[..., 0], rval, atol=1e-6)
+    # and it should agree closely with the batched on-device decoder
+    jgot, _ = D.decode_gauss_taylor(jnp.asarray(heat), jnp.asarray(ti))
+    np.testing.assert_allclose(np.asarray(jgot), got, atol=0.05)

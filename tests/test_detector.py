@@ -373,3 +373,27 @@ def test_detector_amp_matches_f32():
     # random init -> near-prior outputs; boxes within a pixel, scores close
     assert np.median(np.abs(y32[..., :4] - y16[..., :4])) < 1.0
     assert np.abs(y32[..., 4:] - y16[..., 4:]).mean() < 5e-3
+
+
+def test_paste_with_border_and_batch_parity():
+    """gen_detections and single_predict share the canvas prep
+    (paste_with_border): same image -> bit-identical canvases and identical
+    boxes through predict_batch (the round-2 edge-bleed fix)."""
+    from simple_pose_tpu.detector.wrapper import paste_with_border
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, size=(300, 400, 3), dtype=np.uint8)
+    canvas = np.zeros((512, 512, 3), np.uint8)
+    ch, cw = paste_with_border(canvas, img)
+    assert (ch, cw) == (300, 400)
+    np.testing.assert_array_equal(canvas[:300, :400], img)
+    # replicated border rows/cols, zeros beyond
+    np.testing.assert_array_equal(canvas[300, :400], img[299])
+    np.testing.assert_array_equal(canvas[:301, 400], np.vstack([img[:, 399], img[299:300, 399]]))
+    assert canvas[302:].sum() == 0 and canvas[:, 402:].sum() == 0
+
+    det = YOLOv5Detector(weights_path=None, scale_name="s", scale_size=(256, 256),
+                         conf_thresh=0.01, canvas=512)
+    single = det.single_predict(img)
+    batched = det.predict_batch(canvas[None], [(300, 400)])[0]
+    np.testing.assert_array_equal(single, batched)

@@ -177,3 +177,33 @@ def test_amp_evaluator_matches_f32(synth):
     # allow a couple of pixels on stragglers but require overall agreement
     assert np.median(np.abs(kps32 - kps16)) < 1.0
     assert np.mean(np.abs(np.asarray(out32["conf"]) - np.asarray(out16["conf"]))) < 1e-2
+
+
+def test_dark_original_decoder_selectable(synth):
+    """decoder='dark_original' (the reference's DarkPoseOriginal loop
+    decoder, pose_metrics.py:110-169) is a selectable evaluator decoder and
+    agrees with the batched gauss_taylor path to sub-pixel tolerance."""
+    from simple_pose_tpu.data.coco import load_coco_keypoints
+    from simple_pose_tpu.data.pipeline import PosePipeline
+
+    img_root, ann_path, _ = synth
+    recs = load_coco_keypoints(img_root, ann_path)
+    pipe = PosePipeline(recs, 4, input_shape=(64, 64), output_shape=(16, 16),
+                        canvas=192, augment=False, shuffle=False, drop_last=False)
+    ev_dark = PoseEvaluator(MODEL_CFG, None, (64, 64), decoder="dark_original", amp=None)
+    ev_gt = PoseEvaluator(MODEL_CFG, None, (64, 64), decoder="gauss_taylor", amp=None)
+    # same init seed -> same random weights
+    batch = next(iter(pipe.epoch(0)))
+    out_d = ev_dark(batch)
+    out_g = ev_gt(batch)
+    assert out_d["kps"].shape == out_g["kps"].shape
+    np.testing.assert_allclose(out_d["conf"], np.asarray(out_g["conf"]), atol=1e-5)
+    # random-weight heatmaps are noise, so the two decoders' Newton steps
+    # can disagree on a few joints; the bulk must still coincide (argmax is
+    # shared, refinement is sub-pixel)
+    diff = np.abs(out_d["kps"] - np.asarray(out_g["kps"]))
+    assert np.median(diff) < 0.5
+    assert np.isfinite(out_d["kps"]).all()
+    np.testing.assert_allclose(
+        out_d["scores"],
+        out_d["conf"][..., 0].mean(-1) + out_d["conf"][..., 0].max(-1), rtol=1e-6)

@@ -218,3 +218,47 @@ def test_device_prefetch_order_and_flight_depth():
         assert b["x"].sharding.is_fully_replicated or True  # placed on mesh
         out.append(i)
     assert out == list(range(5))
+
+
+def test_check_center_filter(tmp_path):
+    """check_center drops records whose keypoint centroid disagrees with the
+    box center per the reference formula (datasets/coco.py:96-122):
+    drop when num/80 + 47/80 > exp(-2*d^2/area)."""
+    import json
+
+    # one 200x200 image, two annotations sharing bbox [10,10,100,100] (xywh):
+    # after clipping x2=y2=109, center=(59.5,59.5), area=99*99=9801.
+    # 17 visible joints -> threshold (17+47)/80 = 0.8.
+    def ann(ann_id, kx, ky):
+        kp = np.zeros((17, 3))
+        kp[:, 0], kp[:, 1], kp[:, 2] = kx, ky, 2
+        return {"id": ann_id, "image_id": 1, "category_id": 1, "iscrowd": 0,
+                "num_keypoints": 17, "keypoints": kp.reshape(-1).tolist(),
+                "area": 9801.0, "bbox": [10.0, 10.0, 100.0, 100.0]}
+
+    gt = {
+        "images": [{"id": 1, "width": 200, "height": 200, "file_name": "000000000001.jpg"}],
+        "annotations": [
+            ann(1, 59.5, 59.5),  # centroid == box center: ks=1.0 >= 0.8 -> keep
+            ann(2, 10.0, 10.0),  # d^2=2*49.5^2 -> ks=exp(-1)=0.37 < 0.8 -> drop
+        ],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    ann_path = str(tmp_path / "ann.json")
+    with open(ann_path, "w") as wf:
+        json.dump(gt, wf)
+
+    recs_off = load_coco_keypoints(str(tmp_path), ann_path, check_center=False)
+    recs_on = load_coco_keypoints(str(tmp_path), ann_path, check_center=True)
+    assert len(recs_off) == 2
+    assert len(recs_on) == 1
+    assert float(recs_on[0].joints[0, 0]) == 59.5
+
+
+def test_check_center_reaches_solver_config():
+    """DataConfig.check_center flows through load_config (wired, not dead)."""
+    from simple_pose_tpu.train.config import load_config
+
+    cfg = load_config({"data": {"check_center": True}})
+    assert cfg.data.check_center is True
+    assert load_config({}).data.check_center is False

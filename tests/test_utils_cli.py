@@ -61,15 +61,18 @@ def test_cli_help(argv):
     assert "usage" in r.stdout.lower()
 
 
-def test_resolve_amp_dtype_rules():
+def test_resolve_amp_dtype_rules(monkeypatch):
+    import jax
     import jax.numpy as jnp
 
+    from simple_pose_tpu.models import registry
     from simple_pose_tpu.models.registry import resolve_amp_dtype
 
     assert resolve_amp_dtype(True) == jnp.bfloat16
     assert resolve_amp_dtype(False) is None
-    import jax
-
-    expect = jnp.bfloat16 if jax.default_backend() == "tpu" else None
-    assert resolve_amp_dtype("auto") == expect or (
-        resolve_amp_dtype("auto") is None and expect is None)
+    # pin BOTH 'auto' outcomes by forcing the backend answer, so a
+    # regression in the auto rule can't hide behind the test environment
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_amp_dtype("auto") == jnp.bfloat16
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolve_amp_dtype("auto") is None
