@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--scale-name", default="l")
     ap.add_argument("--detector-family", default="yolov5")
     ap.add_argument("--no-amp", action="store_true")
+    ap.add_argument("--rect", action="store_true",
+                    help="minimum-rectangle bucket program (mod-64 static shapes)")
+    ap.add_argument("--img-h", type=int, default=0,
+                    help="source image height (width = canvas); 0 = square")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -49,29 +53,39 @@ def main():
          "num_joints": 17, "reduction": True},
         det_size=det_size, input_shape=input_shape, max_people=mp,
         scale_name=scale, canvas=canvas, detector_family=args.detector_family,
-        amp=False if args.no_amp else "auto",
+        amp=False if args.no_amp else "auto", rect=args.rect,
     )
     rng = np.random.default_rng(0)
     canvases = rng.integers(0, 255, (b, canvas, canvas, 3), dtype=np.uint8)
-    shapes = [(canvas, canvas)] * b
+    img_h = args.img_h or canvas
+    shapes = [(img_h, canvas)] * b
 
     # pre-stage the program inputs once (tunnel-limited H2D in this dev env)
-    lb_trans, lb_region, lb_inv_scale, lb_offset = fused.host_prep(shapes)
+    bucket = ""
+    if args.rect:
+        th, tw = fused._pick_bucket(shapes)
+        program = fused._program_for(th, tw)
+        bucket = f"_rect{tw}x{th}"
+        lb_trans, lb_region, lb_inv_scale, lb_offset = fused.host_prep(
+            shapes, run_size=(tw, th))
+    else:
+        program = fused._program
+        lb_trans, lb_region, lb_inv_scale, lb_offset = fused.host_prep(shapes)
     dev_args = tuple(jax.device_put(a) for a in (
         fused.detector.variables, fused.pose_vars, jnp.asarray(canvases),
         jnp.asarray(lb_trans), jnp.asarray(lb_region),
         jnp.asarray(lb_inv_scale), jnp.asarray(lb_offset)))
 
-    out = fused._program(*dev_args)
+    out = program(*dev_args)
     float(jnp.sum(out["kps"]))
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = fused._program(*dev_args)
+        out = program(*dev_args)
     float(jnp.sum(out["kps"]))
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "metric": f"fused_detect_pose_{args.detector_family}_{scale}"
-                  + ("_f32" if args.no_amp else ""),
+                  + ("_f32" if args.no_amp else "") + bucket,
         "images_per_sec": round(b / dt, 2),
         "pose_crops_per_sec": round(b * mp / dt, 1),
         "ms_per_batch": round(dt * 1000, 2),

@@ -8,8 +8,13 @@ round-1 "full-solver overfit" validation as a repeatable artifact.
 
     python scripts/drive_overfit.py            # TPU (or ambient backend)
     OVERFIT_EPOCHS=8 python scripts/drive_overfit.py
+    # reference optional optimizer stack (optims_utils.py:35-87): 3-group
+    # split + bias 0.1->lr warmup + warmup-cosine-multistep schedule
+    OVERFIT_SPLIT_GROUPS=1 OVERFIT_SCHEDULE=warmup_cosine_multistep \
+        OVERFIT_OUT=OVERFIT_SPLIT.json python scripts/drive_overfit.py
 
-Writes OVERFIT.json at the repo root: backend, per-epoch AP, wall time.
+Writes OVERFIT.json (or $OVERFIT_OUT) at the repo root: backend, config,
+per-epoch AP, wall time.
 """
 
 import json
@@ -49,7 +54,10 @@ def main():
         },
         "model": {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
         "optim": {"lr": 1e-3, "milestones": [max(2, epochs - 100)], "epochs": epochs,
-                  "gamma": 0.1, "amp": jax.default_backend() == "tpu"},
+                  "gamma": 0.1, "amp": jax.default_backend() == "tpu",
+                  "split_groups": os.environ.get("OVERFIT_SPLIT_GROUPS", "0") == "1",
+                  "schedule": os.environ.get("OVERFIT_SCHEDULE", "multistep"),
+                  "warm_up_epoch": int(os.environ.get("OVERFIT_WARMUP_EPOCHS", 10))},
         "val": {"interval": 1, "weight_path": os.path.join(tmp, "weights")},
         "mesh": {"data": len(jax.devices())},
         "seed": 11,
@@ -72,6 +80,7 @@ def main():
     final_ap = ap_by_epoch[max(ap_by_epoch)]
     out = {
         "backend": jax.default_backend(),
+        "optim": {"split_groups": cfg.optim.split_groups, "schedule": cfg.optim.schedule},
         "devices": len(jax.devices()),
         "epochs_run": last_ep + 1,
         "steps_per_epoch": 1,
@@ -81,7 +90,7 @@ def main():
         "reached_1_0": bool(final_ap >= 0.999),
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "OVERFIT.json"), "w") as f:
+                           os.environ.get("OVERFIT_OUT", "OVERFIT.json")), "w") as f:
         json.dump(out, f)
     print(json.dumps(out), flush=True)
 

@@ -70,6 +70,30 @@ def _letterbox_trans(r, left, top):
     )
 
 
+def rect_letterbox_params(h, w, target=(640, 640), mod=64, scale_up=True):
+    """Minimum-rectangle letterbox quantized to STATIC mod-``mod`` buckets.
+
+    The reference's minimum_rectangle mode (yolov5_detector.py:151-160) pads
+    the scaled image only to the next multiple of 64 instead of the full
+    square -- a real FLOP saving on non-square images (640x448 vs 640x640 =
+    -30% pixels) that a dynamic-shape port can't jit.  Here the scale ``r``
+    is still computed against the FULL target (identical box geometry), but
+    the program runs at the quantized (bw, bh) bucket; each distinct bucket
+    compiles once and is cached by jit.
+
+    :returns: ((bw, bh), r, left, top, new_w, new_h)"""
+    tw, th = target
+    r = min(th / h, tw / w)
+    if not scale_up:
+        r = min(r, 1.0)
+    new_w, new_h = int(round(w * r)), int(round(h * r))
+    bw = min(tw, -(-new_w // mod) * mod)
+    bh = min(th, -(-new_h // mod) * mod)
+    dw, dh = (bw - new_w) / 2, (bh - new_h) / 2
+    left, top = int(round(dw - 0.1)), int(round(dh - 0.1))
+    return (bw, bh), r, left, top, new_w, new_h
+
+
 def slice_person_head(variables, num_cls=80, anchor_per_grid=3, slice_idx=0):
     """Slice the 80-class head convs to person-only [x,y,w,h,obj,cls_i]
     (weight-conversion-time replacement for MConv2D surgery)."""
@@ -104,8 +128,13 @@ class YOLOv5Detector:
                  scale_name: str = "l", scale_size: Tuple[int, int] = (640, 640),
                  iou_thresh: float = 0.6, conf_thresh: float = 0.001,
                  slice_idx: int = 0, canvas: int = 1280,
-                 model_family: str = "yolov5", amp="auto", mesh=None):
+                 model_family: str = "yolov5", amp="auto", mesh=None,
+                 rect: bool = False):
         self.mesh = mesh  # optional Mesh: batch axis sharded over 'data'
+        # rect=True: minimum-rectangle letterboxing via static mod-64 shape
+        # buckets (rect_letterbox_params) -- the reference's
+        # minimum_rectangle mode made jittable
+        self.rect = rect
         self.scale_size = scale_size
         self.iou_thresh = iou_thresh
         self.conf_thresh = conf_thresh
@@ -146,48 +175,59 @@ class YOLOv5Detector:
         else:
             self.variables = self.model.init(jax.random.PRNGKey(0), x0)
 
-        tw, th = scale_size
+        # letterbox resample emits the network's compute dtype directly (f32
+        # accumulate, narrowed write): kills the stem's convert_element_type
+        # pass flagged in the fused-step trace (docs/PERF.md)
+        lb_dtype = dtype or jnp.float32
 
-        def forward(variables, canvases, trans, region):
-            crops = affine_crop_separable(canvases, trans, (th, tw))
-            xs = jnp.arange(tw, dtype=jnp.float32)[None, None, :]
-            ys = jnp.arange(th, dtype=jnp.float32)[None, :, None]
-            lx, ty_, rx, by = (region[:, i, None, None] for i in range(4))
-            inside = (xs >= lx) & (xs < rx) & (ys >= ty_) & (ys < by)
-            crops = jnp.where(inside[..., None], crops, 114.0)
-            x = crops[..., ::-1] / 255.0  # canvas is BGR like cv.imread; net eats RGB
-            return self.model.apply(variables, x)
+        def make_forward(th, tw):
+            def forward(variables, canvases, trans, region):
+                crops = affine_crop_separable(canvases, trans, (th, tw), out_dtype=lb_dtype)
+                xs = jnp.arange(tw, dtype=jnp.float32)[None, None, :]
+                ys = jnp.arange(th, dtype=jnp.float32)[None, :, None]
+                lx, ty_, rx, by = (region[:, i, None, None] for i in range(4))
+                inside = (xs >= lx) & (xs < rx) & (ys >= ty_) & (ys < by)
+                crops = jnp.where(inside[..., None], crops, jnp.asarray(114.0, lb_dtype))
+                x = crops[..., ::-1] / 255.0  # canvas is BGR like cv.imread; net eats RGB
+                return self.model.apply(variables, x)
 
-        self._forward = jax.jit(forward)
+            return jax.jit(forward)
+
+        # one jitted forward per static letterbox shape (the default square
+        # plus any mod-64 rect buckets); compiled once each, cached
+        self._forwards = {}
+        self._make_forward = make_forward
+        self._forward = self._forward_for(scale_size[1], scale_size[0])
         if mesh is not None:
             from simple_pose_tpu.parallel.mesh import replicated
 
             self.variables = jax.device_put(self.variables, replicated(mesh))
 
-    def predict_batch(self, canvases_u8, shapes, merge=True, max_det=300):
-        """:param canvases_u8: [B, canvas, canvas, 3] uint8 BGR, images pasted
-            at the origin
-        :param shapes: [(h, w)] original sizes
-        :returns: list of [n, 6] numpy arrays (x1, y1, x2, y2, conf, cls) in
-            original pixel coords"""
+    def _forward_for(self, th, tw):
+        if (th, tw) not in self._forwards:
+            self._forwards[(th, tw)] = self._make_forward(th, tw)
+        return self._forwards[(th, tw)]
+
+    def _run_group(self, canvases_u8, geom, th, tw, merge, max_det, use_mesh):
+        """Forward + NMS + box unmapping for one static letterbox shape.
+
+        geom: [(r, left, top, new_w, new_h)] per image.
+        :returns: list of [n, 6] arrays in original pixel coords"""
         b = canvases_u8.shape[0]
         trans = np.zeros((b, 2, 3), np.float32)
         region = np.zeros((b, 4), np.float32)
-        params = []
-        for i, (h, w) in enumerate(shapes):
-            r, left, top, new_w, new_h = letterbox_params(h, w, self.scale_size)
+        for i, (r, left, top, new_w, new_h) in enumerate(geom):
             trans[i] = _letterbox_trans(r, left, top)
             region[i] = [left, top, left + new_w, top + new_h]
-            params.append((r, left, top))
         batch_args = (np.asarray(canvases_u8), trans, region)
-        if self.mesh is not None:
+        if use_mesh:
             from simple_pose_tpu.parallel.mesh import batch_sharding
 
             batch_args = tuple(
                 jax.device_put(a, batch_sharding(self.mesh)) for a in batch_args)
         else:
             batch_args = tuple(jnp.asarray(a) for a in batch_args)
-        pred = self._forward(self.variables, *batch_args)
+        pred = self._forward_for(th, tw)(self.variables, *batch_args)
         dets, valid = non_max_suppression_jit(
             pred, conf_thresh=self.conf_thresh, iou_thresh=self.iou_thresh,
             max_det=max_det, multi_label=True, merge=merge,
@@ -195,15 +235,43 @@ class YOLOv5Detector:
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         out = []
-        for i, (h, w) in enumerate(shapes):
-            r, left, top = params[i]
+        for i, (r, left, top, _, _) in enumerate(geom):
             d = dets[i][valid[i]].copy()
-            tw, th = self.scale_size
             d[:, [0, 2]] = np.clip(d[:, [0, 2]], 0, tw)
             d[:, [1, 3]] = np.clip(d[:, [1, 3]], 0, th)
             d[:, [0, 2]] = (d[:, [0, 2]] - left) / r
             d[:, [1, 3]] = (d[:, [1, 3]] - top) / r
             out.append(d)
+        return out
+
+    def predict_batch(self, canvases_u8, shapes, merge=True, max_det=300):
+        """:param canvases_u8: [B, canvas, canvas, 3] uint8 BGR, images pasted
+            at the origin
+        :param shapes: [(h, w)] original sizes
+        :returns: list of [n, 6] numpy arrays (x1, y1, x2, y2, conf, cls) in
+            original pixel coords"""
+        canvases_u8 = np.asarray(canvases_u8)
+        if not self.rect:
+            tw, th = self.scale_size
+            geom = [letterbox_params(h, w, self.scale_size) for h, w in shapes]
+            return self._run_group(canvases_u8, geom, th, tw, merge, max_det,
+                                   use_mesh=self.mesh is not None)
+        # rect mode: group images by their static mod-64 bucket; one jitted
+        # program per bucket shape (compiled once, cached).  Sharding over a
+        # mesh only applies to groups whose size divides the data axis.
+        buckets, infos = {}, []
+        for i, (h, w) in enumerate(shapes):
+            (bw, bh), r, left, top, new_w, new_h = rect_letterbox_params(h, w, self.scale_size)
+            buckets.setdefault((bh, bw), []).append(i)
+            infos.append((r, left, top, new_w, new_h))
+        out = [None] * len(shapes)
+        n_data = int(self.mesh.shape.get("data", 1)) if self.mesh is not None else 1
+        for (bh, bw), idxs in buckets.items():
+            group = self._run_group(
+                canvases_u8[idxs], [infos[i] for i in idxs], bh, bw, merge, max_det,
+                use_mesh=self.mesh is not None and len(idxs) % n_data == 0)
+            for i, d in zip(idxs, group):
+                out[i] = d
         return out
 
     def single_predict(self, img_bgr: np.ndarray):

@@ -37,89 +37,138 @@ class FusedDetectPose:
                  det_size=(640, 640), input_shape=(192, 256), max_people: int = 16,
                  det_conf: float = 0.25, det_iou: float = 0.5, decoder: str = "gauss_taylor",
                  canvas: int = 1280, detector_family: str = "yolov5", amp="auto",
-                 mesh=None):
+                 mesh=None, rect: bool = False):
         """mesh: optional jax.sharding.Mesh -- shards the image batch over the
         'data' axis so the fused program uses every chip of a slice (image
-        batch must divide by the data-axis size; weights are replicated)."""
+        batch must divide by the data-axis size; weights are replicated).
+
+        rect: minimum-rectangle letterboxing -- the detector stage runs at
+        the batch's max mod-64 bucket instead of always det_size (the
+        reference's minimum_rectangle mode, yolov5_detector.py:151-160, as
+        static shape buckets; each bucket compiles its own fused program,
+        cached)."""
         self.canvas = canvas
         self.det_size = det_size
         self.max_people = max_people
         self.mesh = mesh
+        self.rect = rect
         self.detector = YOLOv5Detector(
             weights_path=detector_weights, scale_name=scale_name, scale_size=det_size,
             conf_thresh=det_conf, iou_thresh=det_iou, canvas=canvas,
             model_family=detector_family, amp=amp,
         )
         crop_shape = (input_shape[1], input_shape[0])
+        amp_dtype = resolve_amp_dtype(amp)
         self.pose_model, self.pose_vars = load_model_variables(
-            pose_model_cfg, pose_weights, crop_shape, dtype=resolve_amp_dtype(amp))
+            pose_model_cfg, pose_weights, crop_shape, dtype=amp_dtype)
         decode = decode_basic if decoder == "basic" else decode_gauss_taylor
+        # device letterbox emits the detector's compute dtype (f32 resample,
+        # narrowed write) -- removes the stem convert pass (docs/PERF.md)
+        lb_dtype = amp_dtype or jnp.float32
+
+        def make_program(th, tw):
+          def program(det_vars, pose_vars, canvases, lb_trans, lb_region, lb_inv_scale, lb_offset):
+              # ---- detect (device letterbox + YOLOv5 + NMS)
+              lb = affine_crop_separable(canvases, lb_trans, (th, tw), out_dtype=lb_dtype)
+              xs = jnp.arange(tw, dtype=jnp.float32)[None, None, :]
+              ys = jnp.arange(th, dtype=jnp.float32)[None, :, None]
+              inside = (
+                  (xs >= lb_region[:, 0, None, None]) & (xs < lb_region[:, 2, None, None])
+                  & (ys >= lb_region[:, 1, None, None]) & (ys < lb_region[:, 3, None, None])
+              )
+              lb = jnp.where(inside[..., None], lb, jnp.asarray(114.0, lb_dtype))
+              pred = self.detector.model.apply(det_vars, lb[..., ::-1] / 255.0)
+              dets, valid = non_max_suppression_jit(
+                  pred, conf_thresh=det_conf, iou_thresh=det_iou,
+                  max_det=max_people, multi_label=True, merge=True,
+              )
+              # ---- boxes back to source-canvas coords
+              boxes = dets[..., :4]
+              boxes = jnp.clip(boxes, 0.0, jnp.asarray([tw, th, tw, th], jnp.float32))
+              boxes = (boxes - jnp.tile(lb_offset, 2)[:, None, :]) * lb_inv_scale[:, None, None]
+              det_scores = dets[..., 4]
+              # ---- crop geometry + P crops per image
+              trans, trans_inv = boxes_to_crop_affines(boxes, input_shape,
+                                                       (input_shape[0] // 4, input_shape[1] // 4))
+              # pose crops also emit the compute dtype: the [B*P,h,w,3] pose
+              # input is the largest elementwise tensor in the program
+              crops = affine_crop_separable_multi(canvases, trans, crop_shape,
+                                                  out_dtype=lb_dtype)  # [B,P,h,w,C]
+              b = crops.shape[0]
+              # canvases are BGR (cv.imread); the pose net eats RGB, mean-subtracted
+              x = (crops.reshape((b * max_people,) + crop_shape + (3,))[..., ::-1] / 255.0
+                   - jnp.asarray(RGB_MEAN, lb_dtype))
+              heat = self.pose_model.apply(pose_vars, x).transpose(0, 3, 1, 2).astype(jnp.float32)
+              kps, conf = decode(heat, trans_inv.reshape(b * max_people, 2, 3))
+              scores = instance_scores(conf)
+              pp = lambda a: a.reshape((b, max_people) + a.shape[1:])
+              return {
+                  "boxes": boxes, "det_scores": det_scores, "det_valid": valid,
+                  "kps": pp(kps), "kp_conf": pp(conf), "pose_scores": pp(scores),
+              }
+
+          return jax.jit(program)
+
+        self._programs = {}
+        self._make_program = make_program
         tw, th = det_size
-
-        def program(det_vars, pose_vars, canvases, lb_trans, lb_region, lb_inv_scale, lb_offset):
-            # ---- detect (device letterbox + YOLOv5 + NMS)
-            lb = affine_crop_separable(canvases, lb_trans, (th, tw))
-            xs = jnp.arange(tw, dtype=jnp.float32)[None, None, :]
-            ys = jnp.arange(th, dtype=jnp.float32)[None, :, None]
-            inside = (
-                (xs >= lb_region[:, 0, None, None]) & (xs < lb_region[:, 2, None, None])
-                & (ys >= lb_region[:, 1, None, None]) & (ys < lb_region[:, 3, None, None])
-            )
-            lb = jnp.where(inside[..., None], lb, 114.0)
-            pred = self.detector.model.apply(det_vars, lb[..., ::-1] / 255.0)
-            dets, valid = non_max_suppression_jit(
-                pred, conf_thresh=det_conf, iou_thresh=det_iou,
-                max_det=max_people, multi_label=True, merge=True,
-            )
-            # ---- boxes back to source-canvas coords
-            boxes = dets[..., :4]
-            boxes = jnp.clip(boxes, 0.0, jnp.asarray([tw, th, tw, th], jnp.float32))
-            boxes = (boxes - jnp.tile(lb_offset, 2)[:, None, :]) * lb_inv_scale[:, None, None]
-            det_scores = dets[..., 4]
-            # ---- crop geometry + P crops per image
-            trans, trans_inv = boxes_to_crop_affines(boxes, input_shape,
-                                                     (input_shape[0] // 4, input_shape[1] // 4))
-            crops = affine_crop_separable_multi(canvases, trans, crop_shape)  # [B,P,h,w,C]
-            b = crops.shape[0]
-            # canvases are BGR (cv.imread); the pose net eats RGB, mean-subtracted
-            x = crops.reshape((b * max_people,) + crop_shape + (3,))[..., ::-1] / 255.0 - RGB_MEAN
-            heat = self.pose_model.apply(pose_vars, x).transpose(0, 3, 1, 2).astype(jnp.float32)
-            kps, conf = decode(heat, trans_inv.reshape(b * max_people, 2, 3))
-            scores = instance_scores(conf)
-            pp = lambda a: a.reshape((b, max_people) + a.shape[1:])
-            return {
-                "boxes": boxes, "det_scores": det_scores, "det_valid": valid,
-                "kps": pp(kps), "kp_conf": pp(conf), "pose_scores": pp(scores),
-            }
-
-        self._program = jax.jit(program)
+        self._program = self._program_for(th, tw)
         if mesh is not None:
             from simple_pose_tpu.parallel.mesh import replicated
 
             self.detector.variables = jax.device_put(self.detector.variables, replicated(mesh))
             self.pose_vars = jax.device_put(self.pose_vars, replicated(mesh))
 
-    def host_prep(self, shapes):
+    def _program_for(self, th, tw):
+        if (th, tw) not in self._programs:
+            self._programs[(th, tw)] = self._make_program(th, tw)
+        return self._programs[(th, tw)]
+
+    def host_prep(self, shapes, run_size=None):
         """Per-image letterbox geometry (host side): returns
-        (lb_trans [B,2,3], lb_region [B,4], lb_inv_scale [B], lb_offset [B,2])."""
+        (lb_trans [B,2,3], lb_region [B,4], lb_inv_scale [B], lb_offset [B,2]).
+
+        run_size: actual program canvas (a rect bucket <= det_size); the
+        scale r is always computed against det_size so box geometry is
+        independent of the bucket, only the centering offset changes."""
         b = len(shapes)
+        tw, th = run_size or self.det_size
         lb_trans = np.zeros((b, 2, 3), np.float32)
         lb_region = np.zeros((b, 4), np.float32)
         lb_inv_scale = np.zeros((b,), np.float32)
         lb_offset = np.zeros((b, 2), np.float32)
         for i, (h, w) in enumerate(shapes):
-            r, left, top, new_w, new_h = letterbox_params(h, w, self.det_size)
+            r, _, _, new_w, new_h = letterbox_params(h, w, self.det_size)
+            left = int(round((tw - new_w) / 2 - 0.1))
+            top = int(round((th - new_h) / 2 - 0.1))
             lb_trans[i] = _letterbox_trans(r, left, top)
             lb_region[i] = [left, top, left + new_w, top + new_h]
             lb_inv_scale[i] = 1.0 / r
             lb_offset[i] = [left, top]
         return lb_trans, lb_region, lb_inv_scale, lb_offset
 
+    def _pick_bucket(self, shapes):
+        """Batch bucket for rect mode: the max mod-64 rect over the batch."""
+        from simple_pose_tpu.detector.wrapper import rect_letterbox_params
+
+        bw = bh = 0
+        for h, w in shapes:
+            (w_i, h_i), *_ = rect_letterbox_params(h, w, self.det_size)
+            bw, bh = max(bw, w_i), max(bh, h_i)
+        return bh, bw
+
     def __call__(self, canvases_u8, shapes):
         """:param canvases_u8: [B, canvas, canvas, 3] uint8 BGR at origin
         :param shapes: [(h, w)] true image sizes
         :returns: dict of numpy arrays; entries masked by det_valid"""
-        lb_trans, lb_region, lb_inv_scale, lb_offset = self.host_prep(shapes)
+        if self.rect:
+            th, tw = self._pick_bucket(shapes)
+            program = self._program_for(th, tw)
+            lb_trans, lb_region, lb_inv_scale, lb_offset = self.host_prep(
+                shapes, run_size=(tw, th))
+        else:
+            program = self._program
+            lb_trans, lb_region, lb_inv_scale, lb_offset = self.host_prep(shapes)
         batch_args = (canvases_u8, lb_trans, lb_region, lb_inv_scale, lb_offset)
         if self.mesh is not None:
             from simple_pose_tpu.parallel.mesh import batch_sharding
@@ -128,5 +177,5 @@ class FusedDetectPose:
                 jax.device_put(np.asarray(a), batch_sharding(self.mesh)) for a in batch_args)
         else:
             batch_args = tuple(jnp.asarray(a) for a in batch_args)
-        out = self._program(self.detector.variables, self.pose_vars, *batch_args)
+        out = program(self.detector.variables, self.pose_vars, *batch_args)
         return {k: np.asarray(v) for k, v in out.items()}

@@ -50,12 +50,13 @@ def boxes_to_crop_affines(boxes, input_shape=(192, 256), output_shape=(48, 64), 
     return trans, trans_inv
 
 
-def affine_crop_separable_multi(images, trans, out_hw):
+def affine_crop_separable_multi(images, trans, out_hw, out_dtype=None):
     """P crops per image without replicating the images.
 
     :param images: [B, H, W, C]
     :param trans: [B, P, 2, 3] axis-aligned src->dst affines
-    :returns: [B, P, out_h, out_w, C] float32"""
+    :param out_dtype: optional narrowed output (f32 resample either way)
+    :returns: [B, P, out_h, out_w, C] float32 (or out_dtype)"""
     from simple_pose_tpu.ops.warp import invert_affine_batch, _interp_matrix
 
     b, h, w, c = images.shape
@@ -68,4 +69,5 @@ def affine_crop_separable_multi(images, trans, out_hw):
     cx = _interp_matrix(tx, sx, ow, w).reshape(b, p, ow, w)
     img = images.astype(jnp.float32)
     tmp = jnp.einsum("bpoh,bhwc->bpowc", ry, img, preferred_element_type=jnp.float32)
-    return jnp.einsum("bpxw,bpowc->bpoxc", cx, tmp, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bpxw,bpowc->bpoxc", cx, tmp, preferred_element_type=jnp.float32)
+    return out if out_dtype is None else out.astype(out_dtype)

@@ -93,14 +93,17 @@ def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, c
         i_band = inter_ref[0, ci, pl.ds(band_start, band), :]  # [band, inter] bf16
         p_c = jnp.dot(i_band, v_t, preferred_element_type=jnp.float32)  # [band, q]
         out_c = jnp.sum(u_t * p_c, axis=0, keepdims=True)  # [1, q]
-        out_ref[0, 0, 0, ci, :] = out_c[0]
+        # the accumulate stays f32; a bf16 out_ref just narrows the write
+        out_ref[0, 0, 0, ci, :] = out_c[0].astype(out_ref.dtype)
 
 
-def rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block=8, col_block=None):
+def rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block=8, col_block=None,
+                           out_dtype=jnp.float32):
     """Stage-2 rotation resample: [B, C, inter, inter] -> [B, oh, ow, C].
 
     band must cover the rotation sweep of one (row_block x col_block) output
-    block (computed by the caller from col_block)."""
+    block (computed by the caller from col_block).  out_dtype narrows only
+    the final VMEM->HBM write (accumulation is f32)."""
     b, c, inter, _ = inter_img.shape
     oh, ow = out_hw
     cw = ow if col_block is None else col_block
@@ -128,7 +131,7 @@ def rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block=8, col_
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_blocks, n_cblocks, c, q), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_blocks, n_cblocks, c, q), out_dtype),
     )(scalars, inter_img)
     # [B, n_blocks, n_cblocks, C, row_block*cw] -> [B, oh, ow, C]
     out = out.reshape(b, n_blocks, n_cblocks, c, row_block, cw)
@@ -136,7 +139,8 @@ def rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block=8, col_
 
 
 def affine_crop_pallas(images, trans, out_hw, inter: int = 328, row_block: int = 8,
-                       max_rot_deg: float = 41.0, col_block: int = 96):
+                       max_rot_deg: float = 41.0, col_block: int = 96,
+                       out_dtype=jnp.float32):
     """Two-stage batched affine crop with the Pallas stage-2 kernel.
 
     Same semantics as affine_crop_mxu (training-augmentation warp); requires
@@ -158,4 +162,5 @@ def affine_crop_pallas(images, trans, out_hw, inter: int = 328, row_block: int =
     sin_max = min(1.0, abs(math.sin(math.radians(min(max_rot_deg, 90.0)))) + 1e-3)
     # +8 covers the sublane round-down of the dynamic band start
     band = min(inter, _round_up(int(np.ceil(sin_max * cw)) + row_block + 6 + 8, 8))
-    return rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block, cw)
+    return rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block, cw,
+                                  out_dtype=out_dtype)

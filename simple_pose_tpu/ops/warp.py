@@ -121,7 +121,7 @@ def _interp_matrix(starts, steps, out_size, src_size):
     return m  # [B, O, S]
 
 
-def affine_crop_separable(images, trans, out_hw):
+def affine_crop_separable(images, trans, out_hw, out_dtype=None):
     """Axis-aligned batched bilinear crop as two MXU matmuls.
 
     Requires trans[:, 0, 1] == trans[:, 1, 0] == 0 (no rotation/shear), which
@@ -129,7 +129,12 @@ def affine_crop_separable(images, trans, out_hw):
     the augment=False path of datasets/coco.py:51-56).  Exact same math as
     ``affine_crop`` in that regime.
 
-    :returns: [B, out_h, out_w, C] float32
+    out_dtype: optional output cast (e.g. bfloat16 when the consumer is a
+    bf16 network).  The resample itself stays f32; XLA fuses the cast into
+    the final matmul's epilogue, so this halves the crop's HBM write and
+    removes the downstream convert_element_type pass (<=1 ulp of bf16).
+
+    :returns: [B, out_h, out_w, C] float32 (or out_dtype)
     """
     b, h, w, c = images.shape
     oh, ow = out_hw
@@ -143,7 +148,7 @@ def affine_crop_separable(images, trans, out_hw):
     # [B, oh, H] @ [B, H, W*C] -> [B, oh, W, C] ; then contract W with cx
     tmp = jnp.einsum("boh,bhwc->bowc", ry, img, preferred_element_type=jnp.float32)
     out = jnp.einsum("bxw,bowc->boxc", cx, tmp, preferred_element_type=jnp.float32)
-    return out
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

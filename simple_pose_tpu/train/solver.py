@@ -57,8 +57,11 @@ class TrainState(struct.PyTreeNode):
 
 
 def _normalize(crops):
-    """RGB [0,255] float -> reference normalization (mean only, no std)."""
-    return crops / 255.0 - RGB_MEAN
+    """RGB [0,255] float -> reference normalization (mean only, no std).
+
+    Dtype-preserving: bf16 crops normalize in bf16 (no silent f32 upcast
+    from the numpy mean constant)."""
+    return crops / 255.0 - jnp.asarray(RGB_MEAN, crops.dtype)
 
 
 def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), amp=False,
@@ -88,7 +91,11 @@ def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), 
     if crop_impl == "pallas":
         from simple_pose_tpu.ops.pallas_warp import affine_crop_pallas
 
-        crop_fn = lambda c, t: affine_crop_pallas(c, t, crop_shape, inter=inter)
+        # under amp the kernel writes bf16 directly (f32 accumulate): half
+        # the crop's HBM write, and the normalize below reads bf16
+        crop_dtype = jnp.bfloat16 if amp else jnp.float32
+        crop_fn = lambda c, t: affine_crop_pallas(c, t, crop_shape, inter=inter,
+                                                  out_dtype=crop_dtype)
     elif crop_impl == "mxu":
         crop_fn = lambda c, t: affine_crop_mxu(c, t, crop_shape, inter=inter)
     else:
@@ -111,15 +118,18 @@ def make_train_step(train_model, tx, out_shape=(64, 48), crop_shape=(256, 192), 
 
     def train_step(state: TrainState, batch):
         crops = make_crops(batch)
-        x = _normalize(crops)
-        targets, weights = encode_fn(batch["joints"])
-        mask = weights[..., None, None]
-
         if amp:
             # mixed precision proper lives in the model (flax compute
-            # dtype=bfloat16, params float32); here we only cast the input
-            # so the first conv reads bf16 from HBM
-            x = x.astype(jnp.bfloat16)
+            # dtype=bfloat16, params float32).  Normalize directly IN bf16
+            # (cast fused into the crop's epilogue) instead of writing an
+            # f32 normalized batch and converting: removes a full
+            # [B,256,192,3] f32 round-trip + convert_element_type pass
+            # (PERF.md round-3 candidate; <=1 ulp of bf16 vs cast-after).
+            x = _normalize(crops.astype(jnp.bfloat16))
+        else:
+            x = _normalize(crops)
+        targets, weights = encode_fn(batch["joints"])
+        mask = weights[..., None, None]
 
         def loss_fn(params):
             preds, updates = train_model.apply(

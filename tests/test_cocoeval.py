@@ -398,3 +398,47 @@ def test_random_cases_match_first_principles_evaluator():
         assert abs(stats["AR (L)"] - bf["large"]["ar"]) < 1e-9, seed
         assert abs(stats["Ap .5"] - bf["all"]["ap_t"][0]) < 1e-9, seed
         assert abs(stats["AP .75"] - bf["all"]["ap_t"][5]) < 1e-9, seed
+
+
+def test_tied_scores_match_first_principles_evaluator():
+    """Score TIES exercise sort stability in the matching and PR accumulation
+    (where independent reimplementations of the pycocotools protocol
+    classically diverge): quantize scores to 3 levels so most detections tie,
+    and require exact agreement on every stat."""
+    for seed in range(8, 14):
+        gt, results = _random_case(seed)
+        if not results:
+            continue
+        for r in results:  # heavy ties: 3 distinct score values only
+            r["score"] = round(r["score"] * 3) / 3.0
+        stats = _run(gt, results)
+        bf = _bf_eval(gt, results)
+        for k, v in (("AP", bf["all"]["ap"]), ("AR", bf["all"]["ar"]),
+                     ("AP (M)", bf["medium"]["ap"]), ("AP (L)", bf["large"]["ap"])):
+            assert abs(stats[k] - v) < 1e-9, (seed, k, stats[k], v)
+
+
+def test_oks_exactly_at_threshold_boundary():
+    """A detection whose OKS lands exactly on an IoU threshold: both
+    implementations must agree on whether it matches (the < vs <= boundary
+    the pycocotools protocol pins with its thr-1e-10 epsilon)."""
+    kp = _kp(100.0, 100.0, 60.0)
+    gt = {
+        "images": [{"id": 1, "width": 640, "height": 640}],
+        "annotations": [{
+            "id": 1, "image_id": 1, "category_id": 1,
+            "keypoints": kp.reshape(-1).tolist(), "num_keypoints": 17,
+            "area": 3600.0, "bbox": [100.0, 100.0, 60.0, 60.0], "iscrowd": 0,
+        }],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    # sweep shifts whose OKS values straddle the 0.5..0.95 thresholds: both
+    # evaluators see the SAME OKS, so every match decision must coincide
+    for shift in (2.0, 5.0, 10.0, 15.0, 25.0, 40.0, 80.0):
+        noisy = kp.copy()
+        noisy[:, 0] += shift
+        results = [_result(1, noisy, 0.9)]
+        stats = _run(gt, results)
+        bf = _bf_eval(gt, results)
+        assert abs(stats["AP"] - bf["all"]["ap"]) < 1e-9, shift
+        assert abs(stats["Ap .5"] - bf["all"]["ap_t"][0]) < 1e-9, shift

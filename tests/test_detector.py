@@ -397,3 +397,72 @@ def test_paste_with_border_and_batch_parity():
     single = det.single_predict(img)
     batched = det.predict_batch(canvas[None], [(300, 400)])[0]
     np.testing.assert_array_equal(single, batched)
+
+
+def test_rect_letterbox_params_buckets():
+    """Static mod-64 minimum-rectangle buckets (yolov5_detector.py:151-160
+    semantics with jittable shapes): r is computed against the FULL target,
+    the canvas shrinks to the next multiple of 64."""
+    from simple_pose_tpu.detector.wrapper import letterbox_params, rect_letterbox_params
+
+    # 640x480 input -> r=1, 480 is already mod-64-aligned? 480 = 7.5*64 -> 512
+    (bw, bh), r, left, top, new_w, new_h = rect_letterbox_params(480, 640, (640, 640))
+    assert (bw, bh) == (640, 512) and r == 1.0 and (new_w, new_h) == (640, 480)
+    assert top == int(round((512 - 480) / 2 - 0.1)) and left == 0
+    # aspect 1:1 -> bucket is the full square, offsets match letterbox_params
+    (bw, bh), r, left, top, new_w, new_h = rect_letterbox_params(500, 500, (640, 640))
+    assert (bw, bh) == (640, 640)
+    assert (r, left, top, new_w, new_h) == letterbox_params(500, 500, (640, 640))
+    # r never depends on the bucket
+    (_, _), r_wide, *_ = rect_letterbox_params(100, 640, (640, 640))
+    assert r_wide == 1.0
+
+
+def test_rect_predict_batch_square_matches_default():
+    """An aspect-1 image buckets to the full square: rect mode must return
+    exactly the default path's boxes.  A wide image exercises the grouped
+    smaller-bucket program end to end."""
+    rng = np.random.default_rng(11)
+    cfg = dict(weights_path=None, scale_name="s", scale_size=(256, 256),
+               conf_thresh=0.01, canvas=512)
+    det = YOLOv5Detector(**cfg)
+    det_rect = YOLOv5Detector(**cfg, rect=True)
+    sq = rng.integers(0, 255, (300, 300, 3), dtype=np.uint8)
+    wide = rng.integers(0, 255, (150, 400, 3), dtype=np.uint8)
+    from simple_pose_tpu.detector.wrapper import paste_with_border
+
+    canvases = np.zeros((2, 512, 512, 3), np.uint8)
+    paste_with_border(canvases[0], sq)
+    paste_with_border(canvases[1], wide)
+    shapes = [(300, 300), (150, 400)]
+    b_def = det.predict_batch(canvases, shapes)
+    b_rect = det_rect.predict_batch(canvases, shapes)
+    np.testing.assert_array_equal(b_rect[0], b_def[0])  # same program shape
+    assert b_rect[1].ndim == 2 and b_rect[1].shape[1] == 6
+    if len(b_rect[1]):
+        # boxes stay in original-image coords regardless of bucket
+        assert b_rect[1][:, 2].max() <= 400 + 1e-3
+        assert b_rect[1][:, 3].max() <= 150 + 1e-3
+
+
+def test_fused_rect_bucket_square_matches_default():
+    from simple_pose_tpu.evalkit.fused import FusedDetectPose
+
+    cfg = dict(pose_model_cfg={"type": "pose_resnet_dconv", "name": "resnet18",
+                               "num_joints": 17},
+               detector_weights=None, scale_name="s", det_size=(256, 256),
+               input_shape=(64, 64), max_people=4, det_conf=0.001, canvas=256, amp=None)
+    fused = FusedDetectPose(**cfg)
+    fused_rect = FusedDetectPose(**cfg, rect=True)
+    rng = np.random.default_rng(13)
+    canvases = rng.integers(0, 255, size=(2, 256, 256, 3), dtype=np.uint8)
+    # square shapes -> bucket == det_size -> identical program + results
+    out_sq = fused(canvases, [(256, 256)] * 2)
+    out_sq_r = fused_rect(canvases, [(256, 256)] * 2)
+    for k in out_sq:
+        np.testing.assert_array_equal(out_sq_r[k], out_sq[k])
+    # wide shapes -> smaller bucket; finite results, right shapes
+    out_w = fused_rect(canvases, [(128, 256), (100, 256)])
+    assert (256, 128) in fused_rect._programs or (128, 256) in fused_rect._programs
+    assert out_w["kps"].shape == (2, 4, 17, 2)
+    assert np.isfinite(out_w["kps"][out_w["det_valid"]]).all()

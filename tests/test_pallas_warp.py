@@ -93,3 +93,16 @@ def test_pallas_fuzz_vs_mxu(interpret_pallas):
         (pls - xla)[:, :, :2].ravel(), (pls - xla)[:, :, -2:].ravel(),
     ])
     assert np.abs(edges).max() < 3.0
+
+
+def test_pallas_bf16_out_equals_f32_cast(interpret_pallas):
+    """out_dtype=bfloat16 narrows only the final write: results must equal
+    the f32 output rounded to bf16 (accumulation unchanged)."""
+    rng = np.random.default_rng(5)
+    imgs = np.stack([rng.integers(0, 255, (320, 320, 3), dtype=np.uint8) for _ in range(2)])
+    tr = np.stack([_mk_trans(rng, rng.uniform(-40, 40)) for _ in range(2)])
+    f32 = interpret_pallas.affine_crop_pallas(jnp.asarray(imgs), jnp.asarray(tr), (256, 192))
+    b16 = interpret_pallas.affine_crop_pallas(jnp.asarray(imgs), jnp.asarray(tr), (256, 192),
+                                              out_dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(b16), np.asarray(f32.astype(jnp.bfloat16)))
