@@ -64,6 +64,8 @@ def main():
     p = sub.add_parser("gen-dets", help="run the YOLOv5 person detector over the val set")
     common(p, model=False)
     p.add_argument("--det-weights", default=None)
+    p.add_argument("--rect", action="store_true",
+                   help="minimum-rectangle letterbox via static mod-64 buckets")
     p.add_argument("--scale-name", default="l")
     p.add_argument("--detector-family", default="yolov5", choices=["yolov5", "yolov4"])
     p.add_argument("--no-amp", action="store_true",
@@ -105,12 +107,15 @@ def main():
     elif args.cmd == "gen-dets":
         from simple_pose_tpu.evalkit.workflows import gen_detections
 
-        gen_detections(args.img_root, args.ann, out_path=args.out,
-                       conf_thresh=args.conf, iou_thresh=args.iou,
-                       weights_path=args.det_weights, scale_name=args.scale_name,
-                       batch_size=args.batch_size, debug=args.debug,
-                       detector_family=args.detector_family, canvas=args.canvas,
-                       amp=False if args.no_amp else "auto", mesh=_mesh(args))
+        from simple_pose_tpu.detector.wrapper import YOLOv5Detector
+
+        detector = YOLOv5Detector(
+            weights_path=args.det_weights, scale_name=args.scale_name,
+            conf_thresh=args.conf, iou_thresh=args.iou, canvas=args.canvas,
+            model_family=args.detector_family, amp=False if args.no_amp else "auto",
+            mesh=_mesh(args), rect=args.rect)
+        gen_detections(args.img_root, args.ann, detector=detector, out_path=args.out,
+                       batch_size=args.batch_size, debug=args.debug, canvas=args.canvas)
         print(f"wrote {args.out}")
         return
     elif args.cmd == "rescore":

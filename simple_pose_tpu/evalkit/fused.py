@@ -90,8 +90,8 @@ class FusedDetectPose:
               # ---- crop geometry + P crops per image
               trans, trans_inv = boxes_to_crop_affines(boxes, input_shape,
                                                        (input_shape[0] // 4, input_shape[1] // 4))
-              # pose crops also emit the compute dtype: the [B*P,h,w,3] pose
-              # input is the largest elementwise tensor in the program
+              # pose crops emit the compute dtype (A/B'd on hardware: within
+              # noise of f32 crops at half the HBM write, docs/PERF.md r3)
               crops = affine_crop_separable_multi(canvases, trans, crop_shape,
                                                   out_dtype=lb_dtype)  # [B,P,h,w,C]
               b = crops.shape[0]

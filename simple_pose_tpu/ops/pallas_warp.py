@@ -42,10 +42,12 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, cw, channels):
+def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, cw, channels,
+                   xw=None):
     """scalars_ref: [B, 8] scalar-prefetch (r00, r01, r10, r11, u0x, u0y, _, _)
-    inter_ref: [1, C, inter, inter] VMEM (one sample's patch, channel-major:
-        C must NOT be the lane dim or tiling pads 3 channels to 128 lanes)
+    inter_ref: [1, C, inter, inter_pad] VMEM (one sample's patch, channel-
+        major: C must NOT be the lane dim or tiling pads 3 channels to 128
+        lanes; the lane dim may carry explicit zero padding for x-banding)
     out_ref: [1, 1, 1, C, q] VMEM
 
     The grid tiles the output in (row_block x cw) blocks.  Narrower column
@@ -54,6 +56,13 @@ def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, c
     dominant [band, inter] @ [inter, q] contraction FLOPs ~40% with
     bit-identical output (rows outside the 2-tap hat support contribute
     exact f32 zeros, so banding never changes the sum).
+
+    xw: optional x-band width (lanes).  The x-window of one block is only
+    ~cw + sin_max*row_block + 2 taps wide, so the contraction can slice a
+    128-aligned xw-lane window instead of all inter_pad lanes -- Mosaic
+    needs lane slices 128-aligned, hence the explicit zero pad of the lane
+    dim (zero taps have zero hat weights: bit-identical, same argument as
+    the column blocking).
     """
     bi = pl.program_id(0)
     blk = pl.program_id(1)
@@ -81,16 +90,33 @@ def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, c
     band_start = jnp.clip(jnp.floor(jnp.min(uy)) - 1.0, 0.0, float(inter - band)).astype(jnp.int32)
     band_start = pl.multiple_of((band_start // 8) * 8, 8)
 
+    inter_pad = inter_ref.shape[-1]
+    if xw is None or xw >= inter_pad:
+        xw_eff, x_start = inter_pad, None
+    else:
+        # 128-aligned lane window; worst case the window starts just below
+        # the alignment boundary, so xw must cover ~128 + window (the
+        # caller guarantees xw >= 128 + x-window width)
+        xw_eff = xw
+        x_start = jnp.clip(jnp.floor(jnp.min(ux)) - 1.0, 0.0,
+                           float(inter_pad - xw)).astype(jnp.int32)
+        x_start = pl.multiple_of((x_start // 128) * 128, 128)
+
     # bilinear weights as hat functions: weight(s) = max(0, 1 - |s - u|)
     # (exactly the 2-tap one-hot rows, built in one VPU op chain)
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (inter, q), 0).astype(jnp.float32)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (xw_eff, q), 0).astype(jnp.float32)
+    if x_start is not None:
+        w_iota = w_iota + x_start.astype(jnp.float32)
     v_t = jnp.maximum(0.0, 1.0 - jnp.abs(w_iota - ux)).astype(jnp.bfloat16)
 
     h_iota = jax.lax.broadcasted_iota(jnp.int32, (band, q), 0).astype(jnp.float32) + band_start.astype(jnp.float32)
     u_t = jnp.maximum(0.0, 1.0 - jnp.abs(h_iota - uy))
 
     for ci in range(channels):
-        i_band = inter_ref[0, ci, pl.ds(band_start, band), :]  # [band, inter] bf16
+        if x_start is None:
+            i_band = inter_ref[0, ci, pl.ds(band_start, band), :]  # [band, inter_pad] bf16
+        else:
+            i_band = inter_ref[0, ci, pl.ds(band_start, band), pl.ds(x_start, xw_eff)]
         p_c = jnp.dot(i_band, v_t, preferred_element_type=jnp.float32)  # [band, q]
         out_c = jnp.sum(u_t * p_c, axis=0, keepdims=True)  # [1, q]
         # the accumulate stays f32; a bf16 out_ref just narrows the write
@@ -98,13 +124,15 @@ def _stage2_kernel(scalars_ref, inter_ref, out_ref, *, inter, band, row_block, c
 
 
 def rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block=8, col_block=None,
-                           out_dtype=jnp.float32):
-    """Stage-2 rotation resample: [B, C, inter, inter] -> [B, oh, ow, C].
+                           out_dtype=jnp.float32, x_band=None):
+    """Stage-2 rotation resample: [B, C, inter, inter_pad] -> [B, oh, ow, C].
 
     band must cover the rotation sweep of one (row_block x col_block) output
     block (computed by the caller from col_block).  out_dtype narrows only
-    the final VMEM->HBM write (accumulation is f32)."""
-    b, c, inter, _ = inter_img.shape
+    the final VMEM->HBM write (accumulation is f32).  x_band slices a
+    128-aligned lane window of that width out of the contraction (requires
+    the caller to have zero-padded the lane dim to a 128 multiple)."""
+    b, c, inter, inter_pad = inter_img.shape
     oh, ow = out_hw
     cw = ow if col_block is None else col_block
     assert oh % row_block == 0 and ow % cw == 0
@@ -115,13 +143,14 @@ def rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block=8, col_
     n_cblocks = ow // cw
     q = row_block * cw
     kernel = functools.partial(
-        _stage2_kernel, inter=inter, band=band, row_block=row_block, cw=cw, channels=c
+        _stage2_kernel, inter=inter, band=band, row_block=row_block, cw=cw, channels=c,
+        xw=x_band,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_blocks, n_cblocks),
         in_specs=[
-            pl.BlockSpec((1, c, inter, inter), lambda i, j, k, s: (i, 0, 0, 0),
+            pl.BlockSpec((1, c, inter, inter_pad), lambda i, j, k, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -162,5 +191,17 @@ def affine_crop_pallas(images, trans, out_hw, inter: int = 328, row_block: int =
     sin_max = min(1.0, abs(math.sin(math.radians(min(max_rot_deg, 90.0)))) + 1e-3)
     # +8 covers the sublane round-down of the dynamic band start
     band = min(inter, _round_up(int(np.ceil(sin_max * cw)) + row_block + 6 + 8, 8))
+    # x-banding: one block's x-window is ~cos*cw + sin*row_block + 4 taps;
+    # the 128-aligned slice start can sit up to 127 lanes below it, so the
+    # window width is 128 + that, rounded up to a lane multiple.  Zero-pad
+    # the lane dim so the slice is always in-bounds (padded taps carry
+    # exactly-zero hat weights -> bit-identical, like the column blocking).
+    x_window = int(np.ceil(cw + sin_max * row_block)) + 6
+    x_band = _round_up(128 + x_window, 128)
+    inter_pad = _round_up(inter, 128)
+    if x_band < inter_pad:
+        inter_img = jnp.pad(inter_img, ((0, 0), (0, 0), (0, 0), (0, inter_pad - inter)))
+    else:
+        x_band = None
     return rotate_resample_pallas(inter_img, r_mat, u0, out_hw, band, row_block, cw,
-                                  out_dtype=out_dtype)
+                                  out_dtype=out_dtype, x_band=x_band)

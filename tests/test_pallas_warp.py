@@ -106,3 +106,30 @@ def test_pallas_bf16_out_equals_f32_cast(interpret_pallas):
                                               out_dtype=jnp.bfloat16)
     assert b16.dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(b16), np.asarray(f32.astype(jnp.bfloat16)))
+
+
+def test_pallas_x_band_bit_exact(interpret_pallas):
+    """x-banding (the 128-aligned 256-lane contraction window) must be
+    BIT-identical to the unbanded contraction: padded/out-of-window taps
+    carry exactly-zero hat weights, and f32 adds of 0.0 never change the
+    sum.  col_block=0 (full rows) disables x-banding, col_block=96 enables
+    it at x_band=256; both orderings of the remaining terms are identical
+    because zero terms drop out exactly."""
+    import simple_pose_tpu.ops.pallas_warp as PW
+
+    rng = np.random.default_rng(7)
+    imgs = np.stack([rng.integers(0, 255, (512, 512, 3), dtype=np.uint8) for _ in range(2)])
+    tr = np.stack([_mk_trans(rng, r) for r in (40.0, -13.0)])
+    # direct rotate_resample comparison at identical cw, x_band on/off
+    import math
+
+    d0, d1, r_mat, u0, t1x, t1y = PW.decompose_affine(jnp.asarray(tr), (256, 192), 328)
+    inter_img = PW.stage1_resample(jnp.asarray(imgs).astype(jnp.float32), d0, d1, t1x, t1y, 328)
+    inter_img = inter_img.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
+    padded = jnp.pad(inter_img, ((0, 0), (0, 0), (0, 0), (0, 384 - 328)))
+    band = 112
+    off = np.asarray(interpret_pallas.rotate_resample_pallas(
+        inter_img, r_mat, u0, (256, 192), band, 8, 96, x_band=None))
+    on = np.asarray(interpret_pallas.rotate_resample_pallas(
+        padded, r_mat, u0, (256, 192), band, 8, 96, x_band=256))
+    assert np.array_equal(off, on)
