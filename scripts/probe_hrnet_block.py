@@ -30,22 +30,29 @@ sys.path.insert(0, ".")
 HBM_PEAK_GBS = 819.0  # v5e
 
 
-def timed(fn, *args, iters=20):
+def timed_chained(fn, x, *rest, iters=50):
+    """Time ``iters`` applications CHAINED INSIDE one jitted fori_loop: a
+    single dispatch covers the whole loop, so tunnel dispatch latency (which
+    inflates isolated small programs ~5x here, docs/PERF.md) cancels out."""
+    import jax
     import jax.numpy as jnp
 
-    out = fn(*args)
-    float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
+    @jax.jit
+    def run(x, *rest):
+        return jax.lax.fori_loop(0, iters, lambda i, acc: fn(acc, *rest), x)
+
+    out = run(x, *rest)
+    float(jnp.sum(out))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    float(jnp.sum(out if not isinstance(out, tuple) else out[0]))
+    out = run(x, *rest)
+    float(jnp.sum(out))
     return (time.perf_counter() - t0) / iters
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=50)
     args = ap.parse_args()
 
     import jax
@@ -69,24 +76,26 @@ def main():
         bias = jnp.zeros((c,), jnp.bfloat16)
 
         def block(x, k1, k2, scale, bias):
+            # bf16 in/out (XLA accumulates conv partials in f32 internally);
+            # no preferred_element_type so the transpose rule keeps dtypes
+            # uniform in the backward convs
             y = jax.lax.conv_general_dilated(
-                x, k1, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                x, k1, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
             y = jnp.maximum(y * scale + bias, 0)
             y = jax.lax.conv_general_dilated(
-                y, k2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                y, k2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return jnp.maximum(y * scale + bias + x, 0)
 
-        fwd = jax.jit(block)
-
         def loss(x, k1, k2, scale, bias):
-            return jnp.sum(block(x, k1, k2, scale, bias).astype(jnp.float32))
+            # sum in bf16 then cast: keeps every cotangent bf16 (conv
+            # backward requires matching dtypes)
+            return jnp.sum(block(x, k1, k2, scale, bias)).astype(jnp.float32)
 
-        fwdbwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        fwdbwd = jax.grad(loss, argnums=(0, 1, 2))
 
-        t_f = timed(fwd, x, k1, k2, scale, bias, iters=args.iters)
-        t_fb = timed(lambda *a: fwdbwd(*a)[0], x, k1, k2, scale, bias, iters=args.iters)
+        t_f = timed_chained(block, x, k1, k2, scale, bias, iters=args.iters)
+        t_fb = timed_chained(lambda xx, *rest: fwdbwd(xx, *rest)[0], x, k1, k2, scale, bias,
+                             iters=args.iters)
 
         act = b * h * w * c * 2  # bf16 bytes per activation tensor
         # fwd floor: read x, write+read intermediate, write out (+ skip read
@@ -116,12 +125,11 @@ def main():
 
     def fuse(x0, x1, kf):
         y = jax.lax.conv_general_dilated(
-            x1, kf, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            x1, kf, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
         return jnp.maximum(x0 + y, 0)
 
-    t_fuse = timed(jax.jit(fuse), x0, x1, kf, iters=args.iters)
+    t_fuse = timed_chained(lambda a, b_, k: fuse(a, b_, k), x0, x1, kf, iters=args.iters)
     bytes_floor = (x0.size + x1.size + x0.size) * 2 / 1e9 / HBM_PEAK_GBS
     out = {
         "fuse_chain": f"{h//2}x{w//2}x{c1}->{h}x{w}x{c0}", "batch": b,
