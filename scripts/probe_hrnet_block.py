@@ -1,5 +1,11 @@
 """HRNet byte-reduction probe (round 3).
 
+CAVEAT (superseded numbers): the default --iters 50 leaves ~0.45 ms/iter
+of tunnel-dispatch residue, which reads as a size-independent per-block
+constant.  Use --iters >= 300, and prefer scripts/probe_block_decomp.py /
+PROBE_BLOCK_DECOMP.json for the corrected per-block costs (docs/PERF.md
+"three rounds, one correction").
+
 The HRNet-W32 step is memory-roofline-bound (docs/PERF.md xprof: branch
 residual blocks = 70% of step time at 600-780 GB/s of the ~819 GB/s v5e
 peak).  Before building a fused Pallas residual block, measure how much
