@@ -48,7 +48,11 @@ _BLOCKS = {"BASIC": BasicBlock, "BOTTLENECK": Bottleneck}
 
 
 def _upsample_nearest(x, factor: int):
-    return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
+    # Single broadcast+reshape (not chained jnp.repeat): one materialization
+    # that XLA can fuse into the consuming add instead of two intermediates.
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
 
 
 class PoseHRNet(nn.Module):
@@ -83,27 +87,34 @@ class PoseHRNet(nn.Module):
         outs = []
         for i in range(n if multi_scale else 1):
             y = None
-            for j in range(n):
-                if j == i:
-                    t = xs[j]
-                elif j > i:
-                    t = conv1x1(channels[i], name=f"{stage}_m{module}_fuse_{i}_{j}",
-                                dtype=self.dtype)(xs[j])
-                    t = batch_norm(self.train, name=f"{stage}_m{module}_fuse_{i}_{j}_bn",
+            for j in range(i):  # finer sources: chained stride-2 3x3 convs
+                t = xs[j]
+                for k in range(i - j):
+                    last = k == i - j - 1
+                    out_ch = channels[i] if last else channels[j]
+                    t = conv3x3(out_ch, stride=2, name=f"{stage}_m{module}_fuse_{i}_{j}_{k}",
+                                dtype=self.dtype)(t)
+                    t = batch_norm(self.train, name=f"{stage}_m{module}_fuse_{i}_{j}_{k}_bn",
                                    dtype=self.dtype)(t)
-                    t = _upsample_nearest(t, 2 ** (j - i))
-                else:
-                    t = xs[j]
-                    for k in range(i - j):
-                        last = k == i - j - 1
-                        out_ch = channels[i] if last else channels[j]
-                        t = conv3x3(out_ch, stride=2, name=f"{stage}_m{module}_fuse_{i}_{j}_{k}",
-                                    dtype=self.dtype)(t)
-                        t = batch_norm(self.train, name=f"{stage}_m{module}_fuse_{i}_{j}_{k}_bn",
-                                       dtype=self.dtype)(t)
-                        if not last:
-                            t = nn.relu(t)
+                    if not last:
+                        t = nn.relu(t)
                 y = t if y is None else y + t
+            y = xs[i] if y is None else y + xs[i]
+            # Coarser sources (j > i): 1x1 conv + BN at native resolution,
+            # then progressive coarse-to-fine accumulation.  up_{2^(j-i)}
+            # factors as repeated up2 and nearest upsampling distributes
+            # over addition, so summing at each intermediate resolution is
+            # exact per term while writing ~2.3x fewer upsampled bytes than
+            # per-source full-res materialization (each up2+add fuses).
+            acc = None
+            for j in range(n - 1, i, -1):
+                t = conv1x1(channels[i], name=f"{stage}_m{module}_fuse_{i}_{j}",
+                            dtype=self.dtype)(xs[j])
+                t = batch_norm(self.train, name=f"{stage}_m{module}_fuse_{i}_{j}_bn",
+                               dtype=self.dtype)(t)
+                acc = t if acc is None else _upsample_nearest(acc, 2) + t
+            if acc is not None:
+                y = y + _upsample_nearest(acc, 2)
             outs.append(nn.relu(y))
         return outs
 
