@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--flip-test", action="store_true")
     ap.add_argument("--no-amp", action="store_true", help="force float32 compute")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--mesh", action="store_true",
+                    help="run the sharded evaluator over a Mesh of all devices "
+                         "(on one chip this measures the sharded path's overhead)")
     args = ap.parse_args()
 
     import jax
@@ -41,11 +44,16 @@ def main():
     canvas = 640 if on_tpu else 128
     input_shape = (192, 256) if on_tpu else (64, 64)
 
+    mesh = None
+    if args.mesh:
+        from simple_pose_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     ev = PoseEvaluator(
         {"type": args.model_type, "name": args.model_name, "num_joints": 17,
          "reduction": args.reduction},
         None, input_shape, flip_test=args.flip_test,
-        amp=False if args.no_amp else "auto",
+        amp=False if args.no_amp else "auto", mesh=mesh,
     )
     rng = np.random.default_rng(0)
     s = canvas / max(input_shape)
@@ -67,7 +75,8 @@ def main():
     per_chip = b * args.iters / dt / max(1, len(jax.devices()))
     print(json.dumps({
         "metric": f"eval_crops_per_sec_per_chip_{args.model_type}_{args.model_name}"
-                  + ("_fliptest" if args.flip_test else ""),
+                  + ("_fliptest" if args.flip_test else "")
+                  + ("_sharded" if args.mesh else ""),
         "value": round(per_chip, 1),
         "unit": "crops/s/chip",
     }))
