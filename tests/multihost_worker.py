@@ -9,7 +9,11 @@ branch the single-process suite can't reach: jax.distributed wiring
 (train/solver.py) -- the SPMD replacement for the reference DDP solver
 (ddp_pose_resnet_solver.py:33-48,144-168).
 
-Usage: python multihost_worker.py <pid> <nproc> <port> <img_root> <ann> <out_dir>
+Usage: python multihost_worker.py <pid> <nproc> <port> <img_root> <ann> <out_dir> [cfg_json]
+
+cfg_json (optional): path to a JSON dict deep-merged over the base config --
+the skewed-dedup test uses it to change batch size / dataset knobs without a
+second worker script.
 """
 
 import json
@@ -22,6 +26,7 @@ pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
 img_root, ann_path, out_dir = sys.argv[4:7]
+cfg_override = json.load(open(sys.argv[7])) if len(sys.argv) > 7 else {}
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -45,7 +50,7 @@ assert info["global_devices"] == 4 * nproc, info
 from simple_pose_tpu.train.config import load_config  # noqa: E402
 from simple_pose_tpu.train.solver import PoseSolver  # noqa: E402
 
-cfg = load_config({
+base = {
     "model_name": "mh_test",
     "data": {
         "train_ann_path": ann_path, "val_ann_path": ann_path,
@@ -60,7 +65,13 @@ cfg = load_config({
     "val": {"interval": 1, "weight_path": os.path.join(out_dir, "w")},
     "mesh": {"data": 4 * nproc},
     "seed": 11,
-})
+}
+for k, v in cfg_override.items():
+    if isinstance(v, dict):
+        base.setdefault(k, {}).update(v)
+    else:
+        base[k] = v
+cfg = load_config(base)
 
 solver = PoseSolver(cfg)
 solver.init_state()
@@ -71,6 +82,7 @@ stats0 = solver.validate(0, results_path=os.path.join(out_dir, f"val_init_{pid}.
 train_metrics = solver.train_epoch(0, log_every=0)
 stats1 = solver.validate(1, results_path=os.path.join(out_dir, f"val_after_{pid}.json"))
 
+pipe = solver.train_pipe
 with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as wf:
     json.dump({
         "host_info": host_info(),
@@ -78,5 +90,16 @@ with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as wf:
         "train_loss": train_metrics["loss"],
         "ap_after": stats1["AP"],
         "steps": int(solver.state.step),
+        # equalization evidence for the skewed-dataset test: every host
+        # computes every host's shard/plan sizes from the same global view,
+        # so these must be identical across workers
+        "records_per_host": [
+            len(pipe._epoch_order_for(0, h)) for h in range(nproc)],
+        "batches_per_epoch": pipe.batches_per_epoch(),
+        "dedup_plan_len_per_host": (
+            [len(pipe._pack_epoch(0, process_index=h)) for h in range(nproc)]
+            if pipe.dedup_canvases else None),
+        "dedup_batches": (pipe.dedup_batches_per_epoch(0)
+                          if pipe.dedup_canvases else None),
     }, wf)
 print(f"worker {pid} done", flush=True)

@@ -13,12 +13,19 @@ def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per
     paint_markers=True draws a distinct solid color patch at each joint so
     the keypoints are visually learnable (the convergence-drive setup);
     False keeps pure noise images (pipeline/plumbing tests).
+
+    people_per_image may be an int (uniform) or a sequence of per-image
+    instance counts (len == num_images) to build a SKEWED instance
+    distribution (the multihost dedup-equalization test).
     """
     import cv2 as cv
 
     rng = np.random.default_rng(seed)
     img_root = os.path.join(root, "imgs")
     os.makedirs(img_root, exist_ok=True)
+    if np.isscalar(people_per_image):
+        people_per_image = [int(people_per_image)] * num_images
+    assert len(people_per_image) == num_images, (len(people_per_image), num_images)
     images, annotations = [], []
     ann_id = 1
     for img_id in range(1, num_images + 1):
@@ -26,7 +33,7 @@ def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per
         file_name = f"{img_id:012d}.jpg"
         images.append({"id": img_id, "width": img_w, "height": img_h,
                        "coco_url": f"http://x/{file_name}", "file_name": file_name})
-        for _ in range(people_per_image):
+        for _ in range(people_per_image[img_id - 1]):
             kp = np.zeros((17, 3), dtype=np.float64)
             cx, cy = rng.uniform(40, img_w - 40), rng.uniform(30, img_h - 30)
             kp[:, 0] = np.clip(rng.normal(cx, 12, 17), 2, img_w - 3)
