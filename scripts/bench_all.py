@@ -20,9 +20,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MATRIX = [
     (["python", "bench.py"], {}),
     (["python", "bench.py"], {"BENCH_BATCH": "256", "BENCH_MODEL": "pose_hrnet:w32"}),
+    (["python", "bench.py"], {"BENCH_MODEL": "pose_resnet_duc:resnet50"}),
     (["python", "scripts/bench_eval.py"], {}),
     (["python", "scripts/bench_eval.py", "--model-type", "pose_resnet_duc", "--reduction"], {}),
     (["python", "scripts/bench_eval.py", "--model-type", "pose_hrnet", "--model-name", "w32"], {}),
+    (["python", "scripts/bench_eval.py", "--model-type", "pose_hrnet", "--model-name", "w32",
+      "--batch", "256"], {}),
+    (["python", "scripts/bench_eval.py", "--batch", "256"], {}),
+    (["python", "scripts/bench_eval.py", "--mesh"], {}),
     (["python", "scripts/bench_eval.py", "--flip-test"], {}),
     (["python", "scripts/bench_fused.py"], {}),
     (["python", "scripts/bench_fused.py", "--detector-family", "yolov4"], {}),

@@ -38,6 +38,8 @@ def main():
 
     epochs = int(os.environ.get("OVERFIT_EPOCHS", 600))
     val_every = int(os.environ.get("OVERFIT_VAL_EVERY", 100))
+    # e.g. OVERFIT_MODEL=pose_hrnet:w32 to drive the HRNet family end to end
+    mtype, mname = os.environ.get("OVERFIT_MODEL", "pose_resnet_dconv:resnet18").split(":")
     tmp = tempfile.mkdtemp(prefix="overfit_")
     img_root, ann_path, _ = make_synth_coco(tmp, num_images=16, paint_markers=True)
     cfg = load_config({
@@ -52,7 +54,7 @@ def main():
             # crop->encode->model->decode->COCOeval chain, not aug robustness
             "augment": False,
         },
-        "model": {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        "model": {"type": mtype, "name": mname, "num_joints": 17},
         "optim": {"lr": 1e-3, "milestones": [max(2, epochs - 100)], "epochs": epochs,
                   "gamma": 0.1, "amp": jax.default_backend() == "tpu",
                   "split_groups": os.environ.get("OVERFIT_SPLIT_GROUPS", "0") == "1",
@@ -80,6 +82,7 @@ def main():
     final_ap = ap_by_epoch[max(ap_by_epoch)]
     out = {
         "backend": jax.default_backend(),
+        "model": f"{mtype}:{mname}",
         "optim": {"split_groups": cfg.optim.split_groups, "schedule": cfg.optim.schedule},
         "devices": len(jax.devices()),
         "epochs_run": last_ep + 1,
