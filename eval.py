@@ -5,6 +5,11 @@
     python eval.py gen-dets    --img-root ... --ann ... --det-weights yolov5l.pth
     python eval.py rescore     --preds predicts_kps_temp.json --ann ...
     python eval.py e2e         --img-root ... --ann ... --det-weights ... --weights ...
+    python eval.py export      --model-type ... --weights ... --out pose_eval.stablehlo
+
+``export`` is an extra over the reference: it AOT-serializes the whole jitted
+eval program (crop -> forward -> decode) to a StableHLO artifact for serving
+(evalkit/export.py) -- a loader needs jax and the file, no model code.
 """
 
 import argparse
@@ -75,6 +80,29 @@ def main():
     p.add_argument("--iou", type=float, default=0.5)
     p.add_argument("--out", default="person_detections.json")
 
+    p = sub.add_parser("export", help="AOT-export the eval program for serving "
+                       "(jax.export StableHLO artifact; no model code needed to load)")
+    p.add_argument("--model-type", default="pose_resnet_dconv")
+    p.add_argument("--model-name", default="resnet50")
+    p.add_argument("--num-joints", type=int, default=17)
+    p.add_argument("--reduction", action="store_true")
+    p.add_argument("--weights", default=None)
+    p.add_argument("--decoder", default="gauss_taylor",
+                   choices=["basic", "gauss_taylor", "dark_original"])
+    p.add_argument("--flip-test", action="store_true")
+    p.add_argument("--no-amp", action="store_true")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--canvas", type=int, default=640)
+    p.add_argument("--input-w", type=int, default=192)
+    p.add_argument("--input-h", type=int, default=256)
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering platforms, e.g. tpu,cpu "
+                        "(default: current backend)")
+    p.add_argument("--external-weights", action="store_true",
+                   help="keep variables as a runtime argument instead of "
+                        "baking them into the artifact")
+    p.add_argument("--out", default="pose_eval.stablehlo")
+
     p = sub.add_parser("rescore", help="OKS-NMS rescoring of raw predictions")
     p.add_argument("--preds", required=True)
     p.add_argument("--ann", required=True)
@@ -117,6 +145,25 @@ def main():
         gen_detections(args.img_root, args.ann, detector=detector, out_path=args.out,
                        batch_size=args.batch_size, debug=args.debug, canvas=args.canvas)
         print(f"wrote {args.out}")
+        return
+    elif args.cmd == "export":
+        from simple_pose_tpu.evalkit.export import export_evaluator, save_exported
+        from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+
+        evaluator = PoseEvaluator(
+            _model_cfg(args), weights=args.weights,
+            input_shape=(args.input_w, args.input_h), decoder=args.decoder,
+            flip_test=args.flip_test, amp=False if args.no_amp else "auto")
+        exported = export_evaluator(
+            evaluator, args.batch_size, (args.canvas, args.canvas),
+            bake_weights=not args.external_weights,
+            platforms=args.platforms.split(",") if args.platforms else None)
+        n = save_exported(exported, args.out)
+        print(json.dumps({
+            "out": args.out, "bytes": n,
+            "platforms": list(exported.platforms),
+            "batch": args.batch_size, "canvas": args.canvas,
+        }))
         return
     elif args.cmd == "rescore":
         stats = evalkit.rescore_and_filter(args.preds, args.ann, args.in_vis_thre, args.oks_thre)

@@ -1,3 +1,9 @@
+from simple_pose_tpu.evalkit.export import (
+    export_evaluator,
+    load_exported,
+    save_exported,
+    serving_fn,
+)
 from simple_pose_tpu.evalkit.workflows import (
     PoseEvaluator,
     predicts_by_gt,

@@ -1,0 +1,113 @@
+"""AOT serving export (evalkit/export.py): the serialized StableHLO program
+must reproduce the live PoseEvaluator -- bit-for-bit with external weights;
+to constant-folding tolerance (~2e-4 relative) with baked weights, where XLA
+pre-folds the parameter constants differently than the runtime program --
+through a file round-trip, and refuse the mesh-sharded evaluator it cannot
+represent."""
+
+import numpy as np
+import pytest
+
+from simple_pose_tpu.evalkit.export import (
+    export_evaluator,
+    load_exported,
+    save_exported,
+    serving_fn,
+)
+from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+
+MODEL_CFG = {"type": "pose_resnet_dconv", "name": "resnet18",
+             "num_joints": 17, "reduction": True}
+BATCH, CANVAS = 4, 96
+
+
+def _make_batch(rng):
+    s = CANVAS / 64.0
+    return {
+        "canvas": rng.integers(0, 255, (BATCH, CANVAS, CANVAS, 3), dtype=np.uint8),
+        "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32),
+                         (BATCH, 1, 1)),
+        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32),
+                             (BATCH, 1, 1)),
+    }
+
+
+@pytest.fixture(scope="module")
+def evaluator():
+    return PoseEvaluator(MODEL_CFG, None, input_shape=(64, 64), amp=None)
+
+
+def test_export_matches_live_evaluator(evaluator, tmp_path):
+    batch = _make_batch(np.random.default_rng(0))
+    live = evaluator(batch)
+
+    exported = export_evaluator(evaluator, BATCH, (CANVAS, CANVAS))
+    n = save_exported(exported, tmp_path / "pose.stablehlo")
+    assert n > 0
+
+    call = serving_fn(tmp_path / "pose.stablehlo")
+    out = call(batch["canvas"], batch["trans"], batch["trans_inv"])
+    assert set(out) == {"kps", "conf", "scores"}
+    # baked weights are constant-folded by XLA (different op order than the
+    # runtime program): allow folding-level drift, tiny vs the 4px decode grid
+    np.testing.assert_allclose(np.asarray(out["kps"]), np.asarray(live["kps"]),
+                               atol=0.2)
+    np.testing.assert_allclose(np.asarray(out["conf"]), np.asarray(live["conf"]),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["scores"]),
+                               np.asarray(live["scores"]), atol=1e-3)
+
+
+def test_export_external_weights(evaluator):
+    batch = _make_batch(np.random.default_rng(1))
+    live = evaluator(batch)
+
+    exported = export_evaluator(evaluator, BATCH, (CANVAS, CANVAS),
+                                bake_weights=False)
+    call = serving_fn(exported.serialize())
+    out = call(evaluator.variables, batch["canvas"], batch["trans"],
+               batch["trans_inv"])
+    np.testing.assert_array_equal(np.asarray(out["kps"]),
+                                  np.asarray(live["kps"]))
+
+
+def test_export_dark_original_returns_heatmaps(evaluator):
+    ev = PoseEvaluator(MODEL_CFG, None, input_shape=(64, 64), amp=None,
+                       decoder="dark_original")
+    # reuse the already-initialized weights so outputs are comparable
+    ev.variables = evaluator.variables
+    exported = export_evaluator(ev, BATCH, (CANVAS, CANVAS))
+    batch = _make_batch(np.random.default_rng(2))
+    out = load_exported(exported.serialize()).call(
+        batch["canvas"], batch["trans"], batch["trans_inv"])
+    assert set(out) == {"heat"}
+    assert out["heat"].shape == (BATCH, 17, 16, 16)
+
+    from simple_pose_tpu.ops.decode import decode_dark_original
+
+    kps, conf = decode_dark_original(np.asarray(out["heat"]), batch["trans_inv"])
+    live = ev(batch)
+    np.testing.assert_allclose(kps, np.asarray(live["kps"]), atol=0.2)
+    np.testing.assert_allclose(conf, np.asarray(live["conf"]), atol=1e-3)
+
+
+def test_export_refuses_mesh_evaluator():
+    from simple_pose_tpu.parallel.mesh import make_mesh
+
+    ev = PoseEvaluator(MODEL_CFG, None, input_shape=(64, 64), amp=None,
+                       mesh=make_mesh({"data": 2}))
+    with pytest.raises(ValueError, match="mesh"):
+        export_evaluator(ev, BATCH, (CANVAS, CANVAS))
+
+
+def test_export_cross_platform_lowering(evaluator):
+    """One artifact lowered for both TPU and CPU still runs on CPU."""
+    exported = export_evaluator(evaluator, BATCH, (CANVAS, CANVAS),
+                                platforms=("tpu", "cpu"))
+    assert set(p.lower() for p in exported.platforms) == {"tpu", "cpu"}
+    batch = _make_batch(np.random.default_rng(3))
+    out = load_exported(exported.serialize()).call(
+        batch["canvas"], batch["trans"], batch["trans_inv"])
+    live = evaluator(batch)
+    np.testing.assert_allclose(np.asarray(out["kps"]), np.asarray(live["kps"]),
+                               atol=0.2)
