@@ -56,6 +56,8 @@ def main():
             p.add_argument("--flip-test", action="store_true")
             p.add_argument("--no-amp", action="store_true",
                            help="force float32 compute (default: bf16 on TPU)")
+            p.add_argument("--quant", default=None, choices=["w8a8"],
+                           help="int8 quantized conv forward (serving extra)")
 
     p = sub.add_parser("gt", help="GT-box eval")
     common(p)
@@ -91,6 +93,7 @@ def main():
                    choices=["basic", "gauss_taylor", "dark_original"])
     p.add_argument("--flip-test", action="store_true")
     p.add_argument("--no-amp", action="store_true")
+    p.add_argument("--quant", default=None, choices=["w8a8"])
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--canvas", type=int, default=640)
     p.add_argument("--input-w", type=int, default=192)
@@ -124,6 +127,7 @@ def main():
             batch_size=args.batch_size, decoder=args.decoder,
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
+            quant=args.quant,
         )
     elif args.cmd == "detections":
         stats = evalkit.predicts_by_detections(
@@ -131,6 +135,7 @@ def main():
             batch_size=args.batch_size, decoder=args.decoder,
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
+            quant=args.quant,
         )
     elif args.cmd == "gen-dets":
         from simple_pose_tpu.evalkit.workflows import gen_detections
@@ -153,7 +158,8 @@ def main():
         evaluator = PoseEvaluator(
             _model_cfg(args), weights=args.weights,
             input_shape=(args.input_w, args.input_h), decoder=args.decoder,
-            flip_test=args.flip_test, amp=False if args.no_amp else "auto")
+            flip_test=args.flip_test, amp=False if args.no_amp else "auto",
+            quant=args.quant)
         exported = export_evaluator(
             evaluator, args.batch_size, (args.canvas, args.canvas),
             bake_weights=not args.external_weights,
@@ -176,6 +182,7 @@ def main():
             batch_size=args.batch_size, flip_test=args.flip_test, debug=args.debug,
             detector_family=args.detector_family,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
+            quant=args.quant,
         )
     print(json.dumps({k: round(float(v), 4) for k, v in stats.items()}, indent=2))
 

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--flip-test", action="store_true")
     ap.add_argument("--no-amp", action="store_true", help="force float32 compute")
+    ap.add_argument("--quant", default=None, choices=["w8a8"],
+                    help="int8 quantized conv forward (models/quant.py)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--mesh", action="store_true",
                     help="run the sharded evaluator over a Mesh of all devices "
@@ -53,7 +55,7 @@ def main():
         {"type": args.model_type, "name": args.model_name, "num_joints": 17,
          "reduction": args.reduction},
         None, input_shape, flip_test=args.flip_test,
-        amp=False if args.no_amp else "auto", mesh=mesh,
+        amp=False if args.no_amp else "auto", mesh=mesh, quant=args.quant,
     )
     rng = np.random.default_rng(0)
     s = canvas / max(input_shape)
@@ -76,7 +78,8 @@ def main():
     print(json.dumps({
         "metric": f"eval_crops_per_sec_per_chip_{args.model_type}_{args.model_name}"
                   + ("_fliptest" if args.flip_test else "")
-                  + ("_sharded" if args.mesh else ""),
+                  + ("_sharded" if args.mesh else "")
+                  + (f"_{args.quant}" if args.quant else ""),
         "value": round(per_chip, 1),
         "unit": "crops/s/chip",
     }))

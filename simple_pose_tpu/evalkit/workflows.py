@@ -124,7 +124,13 @@ class PoseEvaluator:
 
     def __init__(self, model_cfg: dict, weights: Optional[str] = None,
                  input_shape=(192, 256), decoder: str = "gauss_taylor",
-                 flip_test: bool = False, amp="auto", mesh=None):
+                 flip_test: bool = False, amp="auto", mesh=None,
+                 quant: Optional[str] = None):
+        from simple_pose_tpu.models.quant import QUANT_MODES, quantized
+
+        if quant not in QUANT_MODES:
+            raise ValueError(f"quant={quant!r}; expected one of {QUANT_MODES}")
+        self.quant = quant
         self.crop_shape = (input_shape[1], input_shape[0])
         self.out_shape = (input_shape[1] // 4, input_shape[0] // 4)
         self.mesh = mesh
@@ -157,10 +163,14 @@ class PoseEvaluator:
             else:
                 crops = crop_fn(batch["canvas"], batch["trans"])
             x = crops / 255.0 - RGB_MEAN
-            heat = self.model.apply(variables, x).transpose(0, 3, 1, 2).astype(jnp.float32)
+            # quant='w8a8' swaps every nn.Conv for the int8-MXU forward
+            # (models/quant.py) at trace time; None is a no-op context
+            with quantized(quant):
+                heat = self.model.apply(variables, x).transpose(0, 3, 1, 2).astype(jnp.float32)
             if flip_test:
                 xf = x[:, :, ::-1, :]
-                hf = self.model.apply(variables, xf).transpose(0, 3, 1, 2).astype(jnp.float32)
+                with quantized(quant):
+                    hf = self.model.apply(variables, xf).transpose(0, 3, 1, 2).astype(jnp.float32)
                 hf = hf[:, flip_perm, :, ::-1]
                 # SimpleBaselines convention: shift flipped maps 1px right
                 hf = jnp.concatenate([hf[..., :1], hf[..., :-1]], axis=-1)
@@ -211,7 +221,7 @@ def _eval_prefetch(batches, mesh):
 def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                    input_shape=(192, 256), decoder="gauss_taylor", flip_test=False,
                    out_path="test_gt_kpt.json", canvas=640, debug=0, dedup=True,
-                   amp="auto", mesh=None):
+                   amp="auto", mesh=None, quant=None):
     """GT-box eval (eval.py:30-66).  Returns the stats dict."""
     records = load_coco_keypoints(img_root, ann_path, debug=debug)
     pipe = PosePipeline(records, batch_size, input_shape=input_shape,
@@ -219,7 +229,7 @@ def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                         canvas=canvas, augment=False, shuffle=False, drop_last=False,
                         **_dedup_plan(batch_size, dedup, mesh))
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
-                       mesh=mesh)
+                       mesh=mesh, quant=quant)
     results = []
     for batch in _eval_prefetch(pipe.epoch(0), mesh):
         out = ev(batch)
@@ -237,7 +247,7 @@ def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weig
                            batch_size=32, input_shape=(192, 256), decoder="gauss_taylor",
                            flip_test=False, out_path="predicts_kps_temp.json", canvas=640,
                            in_vis_thre=0.2, oks_thre=0.9, debug=0, dedup=True, amp="auto",
-                           mesh=None):
+                           mesh=None, quant=None):
     """Detector-box eval + OKS-NMS rescoring (eval.py:101-150 + 153-197).
 
     Returns the stats dict of the rescored/filtered predictions."""
@@ -246,7 +256,7 @@ def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weig
                           output_shape=(input_shape[0] // 4, input_shape[1] // 4),
                           canvas=canvas, **_dedup_plan(batch_size, dedup, mesh))
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
-                       mesh=mesh)
+                       mesh=mesh, quant=quant)
     predictions = []
     for batch in _eval_prefetch(pipe.epoch(0), mesh):
         out = ev(batch)
@@ -367,7 +377,7 @@ def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
                      detector_weights=None, scale_name="l", det_conf=0.25, det_iou=0.5,
                      batch_size=32, input_shape=(192, 256), flip_test=False,
                      work_dir=".", debug=0, detector_family="yolov5", amp="auto",
-                     mesh=None):
+                     mesh=None, quant=None):
     """End-to-end detect -> crop -> pose -> rescoring AP
     (README.md:94-106 workflow; BASELINE.json config #5)."""
     det_path = os.path.join(work_dir, "person_detections.json")
@@ -379,4 +389,5 @@ def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
         img_root, det_path, ann_path, pose_model_cfg, weights=pose_weights,
         batch_size=batch_size, input_shape=input_shape, flip_test=flip_test,
         out_path=os.path.join(work_dir, "predicts_kps_temp.json"), amp=amp, mesh=mesh,
+        quant=quant,
     )

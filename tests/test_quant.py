@@ -1,0 +1,113 @@
+"""W8A8 quantized conv path (models/quant.py): interceptor math pinned
+against the explicit quantization formula, model-level fidelity on a full
+pose net, evaluator integration, and serving export of the quantized
+program."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simple_pose_tpu.models.quant import quantized
+
+
+def _ref_w8a8(x, w, b=None, stride=1, pad=1, groups=1):
+    """The documented formula, written independently of the interceptor."""
+    s_w = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, 1e-8)
+    w8 = np.round(w / s_w).astype(np.int8)
+    s_x = max(np.abs(x).max() / 127.0, 1e-8)
+    x8 = np.clip(np.round(x / s_x), -127, 127).astype(np.int8)
+    y = jax.lax.conv_general_dilated(
+        x8, w8, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups, preferred_element_type=jnp.int32)
+    out = np.asarray(y, np.float32) * (s_x * s_w)
+    return out + b if b is not None else out
+
+
+@pytest.mark.parametrize("stride,bias,groups", [(1, False, 1), (2, True, 1), (1, False, 2)])
+def test_w8a8_conv_matches_formula(stride, bias, groups):
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 8, 8, 4)).astype(np.float32)
+    conv = nn.Conv(6, (3, 3), strides=(stride, stride),
+                   padding=[(1, 1), (1, 1)], use_bias=bias,
+                   feature_group_count=groups)
+    v = conv.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    with quantized("w8a8"):
+        got = conv.apply(v, jnp.asarray(x))
+    w = np.asarray(v["params"]["kernel"])
+    b = np.asarray(v["params"]["bias"]) if bias else None
+    want = _ref_w8a8(x, w, b, stride=stride, groups=groups)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_w8a8_model_fidelity():
+    """Full pose net: the int8 path must track the float path closely even
+    through ~20 chained quantized convs."""
+    from simple_pose_tpu.models import build_model
+
+    m = build_model("pose_resnet_dconv", "resnet18", num_joints=17,
+                    train=False, reduction=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(-0.5, 0.5, (4, 64, 64, 3)).astype(np.float32))
+    yf = np.asarray(m.apply(v, x))
+    with quantized("w8a8"):
+        yq = np.asarray(jax.jit(m.apply)(v, x))
+    cos = (yf * yq).sum() / (np.linalg.norm(yf) * np.linalg.norm(yq))
+    assert cos > 0.99, cos
+    assert np.abs(yq - yf).max() < 0.1 * np.abs(yf).max()
+
+
+def test_quantized_rejects_unknown_mode():
+    with pytest.raises(ValueError, match="w8a8"):
+        quantized("int4")
+    # None is the pass-through used by config plumbing
+    with quantized(None):
+        pass
+
+
+def test_evaluator_quant_end_to_end():
+    from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+
+    cfg = {"type": "pose_resnet_dconv", "name": "resnet18",
+           "num_joints": 17, "reduction": True}
+    with pytest.raises(ValueError, match="quant"):
+        PoseEvaluator(cfg, None, input_shape=(64, 64), quant="bogus")
+
+    ev = PoseEvaluator(cfg, None, input_shape=(64, 64), amp=None, quant="w8a8")
+    rng = np.random.default_rng(0)
+    s = 96 / 64.0
+    batch = {
+        "canvas": rng.integers(0, 255, (4, 96, 96, 3), dtype=np.uint8),
+        "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (4, 1, 1)),
+        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (4, 1, 1)),
+    }
+    out = ev(batch)
+    assert set(out) == {"kps", "conf", "scores"}
+    assert out["kps"].shape == (4, 17, 2)
+    assert np.isfinite(np.asarray(out["kps"])).all()
+
+
+def test_quant_export_roundtrip():
+    """The quantized program survives jax.export serialization."""
+    from simple_pose_tpu.evalkit.export import export_evaluator, load_exported
+    from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+
+    cfg = {"type": "pose_resnet_dconv", "name": "resnet18",
+           "num_joints": 17, "reduction": True}
+    ev = PoseEvaluator(cfg, None, input_shape=(64, 64), amp=None, quant="w8a8")
+    rng = np.random.default_rng(1)
+    s = 96 / 64.0
+    batch = {
+        "canvas": rng.integers(0, 255, (4, 96, 96, 3), dtype=np.uint8),
+        "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (4, 1, 1)),
+        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (4, 1, 1)),
+    }
+    live = ev(batch)
+    exported = export_evaluator(ev, 4, (96, 96))
+    out = load_exported(exported.serialize()).call(
+        batch["canvas"], batch["trans"], batch["trans_inv"])
+    np.testing.assert_allclose(np.asarray(out["kps"]), np.asarray(live["kps"]),
+                               atol=0.2)
