@@ -77,6 +77,7 @@ def main():
     p.add_argument("--detector-family", default="yolov5", choices=["yolov5", "yolov4"])
     p.add_argument("--no-amp", action="store_true",
                    help="force float32 compute (default: bf16 on TPU)")
+    p.add_argument("--quant", default=None, choices=["w8a8"])
     p.add_argument("--canvas", type=int, default=1280)
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.5)
@@ -146,7 +147,7 @@ def main():
             weights_path=args.det_weights, scale_name=args.scale_name,
             conf_thresh=args.conf, iou_thresh=args.iou, canvas=args.canvas,
             model_family=args.detector_family, amp=False if args.no_amp else "auto",
-            mesh=_mesh(args), rect=args.rect)
+            mesh=_mesh(args), rect=args.rect, quant=args.quant)
         gen_detections(args.img_root, args.ann, detector=detector, out_path=args.out,
                        batch_size=args.batch_size, debug=args.debug, canvas=args.canvas)
         print(f"wrote {args.out}")

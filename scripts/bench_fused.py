@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--scale-name", default="l")
     ap.add_argument("--detector-family", default="yolov5")
     ap.add_argument("--no-amp", action="store_true")
+    ap.add_argument("--quant", default=None, choices=["w8a8"],
+                    help="int8 quantized conv forward for both nets")
     ap.add_argument("--rect", action="store_true",
                     help="minimum-rectangle bucket program (mod-64 static shapes)")
     ap.add_argument("--img-h", type=int, default=0,
@@ -53,7 +55,7 @@ def main():
          "num_joints": 17, "reduction": True},
         det_size=det_size, input_shape=input_shape, max_people=mp,
         scale_name=scale, canvas=canvas, detector_family=args.detector_family,
-        amp=False if args.no_amp else "auto", rect=args.rect,
+        amp=False if args.no_amp else "auto", rect=args.rect, quant=args.quant,
     )
     rng = np.random.default_rng(0)
     canvases = rng.integers(0, 255, (b, canvas, canvas, 3), dtype=np.uint8)
@@ -85,7 +87,8 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "metric": f"fused_detect_pose_{args.detector_family}_{scale}"
-                  + ("_f32" if args.no_amp else "") + bucket,
+                  + ("_f32" if args.no_amp else "")
+                  + (f"_{args.quant}" if args.quant else "") + bucket,
         "images_per_sec": round(b / dt, 2),
         "pose_crops_per_sec": round(b * mp / dt, 1),
         "ms_per_batch": round(dt * 1000, 2),

@@ -129,8 +129,13 @@ class YOLOv5Detector:
                  iou_thresh: float = 0.6, conf_thresh: float = 0.001,
                  slice_idx: int = 0, canvas: int = 1280,
                  model_family: str = "yolov5", amp="auto", mesh=None,
-                 rect: bool = False):
+                 rect: bool = False, quant=None):
         self.mesh = mesh  # optional Mesh: batch axis sharded over 'data'
+        from simple_pose_tpu.models.quant import QUANT_MODES, quantized
+
+        if quant not in QUANT_MODES:
+            raise ValueError(f"quant={quant!r}; expected one of {QUANT_MODES}")
+        self.quant = quant
         # rect=True: minimum-rectangle letterboxing via static mod-64 shape
         # buckets (rect_letterbox_params) -- the reference's
         # minimum_rectangle mode made jittable
@@ -189,7 +194,9 @@ class YOLOv5Detector:
                 inside = (xs >= lx) & (xs < rx) & (ys >= ty_) & (ys < by)
                 crops = jnp.where(inside[..., None], crops, jnp.asarray(114.0, lb_dtype))
                 x = crops[..., ::-1] / 255.0  # canvas is BGR like cv.imread; net eats RGB
-                return self.model.apply(variables, x)
+                # quant='w8a8': int8-MXU conv forward (models/quant.py)
+                with quantized(quant):
+                    return self.model.apply(variables, x)
 
             return jax.jit(forward)
 

@@ -37,7 +37,7 @@ class FusedDetectPose:
                  det_size=(640, 640), input_shape=(192, 256), max_people: int = 16,
                  det_conf: float = 0.25, det_iou: float = 0.5, decoder: str = "gauss_taylor",
                  canvas: int = 1280, detector_family: str = "yolov5", amp="auto",
-                 mesh=None, rect: bool = False):
+                 mesh=None, rect: bool = False, quant=None):
         """mesh: optional jax.sharding.Mesh -- shards the image batch over the
         'data' axis so the fused program uses every chip of a slice (image
         batch must divide by the data-axis size; weights are replicated).
@@ -46,7 +46,15 @@ class FusedDetectPose:
         the batch's max mod-64 bucket instead of always det_size (the
         reference's minimum_rectangle mode, yolov5_detector.py:151-160, as
         static shape buckets; each bucket compiles its own fused program,
-        cached)."""
+        cached).
+
+        quant: 'w8a8' runs every conv of BOTH nets on the int8 MXU path
+        (models/quant.py)."""
+        from simple_pose_tpu.models.quant import QUANT_MODES, quantized
+
+        if quant not in QUANT_MODES:
+            raise ValueError(f"quant={quant!r}; expected one of {QUANT_MODES}")
+        self.quant = quant
         self.canvas = canvas
         self.det_size = det_size
         self.max_people = max_people
@@ -77,7 +85,8 @@ class FusedDetectPose:
                   & (ys >= lb_region[:, 1, None, None]) & (ys < lb_region[:, 3, None, None])
               )
               lb = jnp.where(inside[..., None], lb, jnp.asarray(114.0, lb_dtype))
-              pred = self.detector.model.apply(det_vars, lb[..., ::-1] / 255.0)
+              with quantized(quant):
+                  pred = self.detector.model.apply(det_vars, lb[..., ::-1] / 255.0)
               dets, valid = non_max_suppression_jit(
                   pred, conf_thresh=det_conf, iou_thresh=det_iou,
                   max_det=max_people, multi_label=True, merge=True,
@@ -98,7 +107,8 @@ class FusedDetectPose:
               # canvases are BGR (cv.imread); the pose net eats RGB, mean-subtracted
               x = (crops.reshape((b * max_people,) + crop_shape + (3,))[..., ::-1] / 255.0
                    - jnp.asarray(RGB_MEAN, lb_dtype))
-              heat = self.pose_model.apply(pose_vars, x).transpose(0, 3, 1, 2).astype(jnp.float32)
+              with quantized(quant):
+                  heat = self.pose_model.apply(pose_vars, x).transpose(0, 3, 1, 2).astype(jnp.float32)
               kps, conf = decode(heat, trans_inv.reshape(b * max_people, 2, 3))
               scores = instance_scores(conf)
               pp = lambda a: a.reshape((b, max_people) + a.shape[1:])

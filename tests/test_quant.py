@@ -111,3 +111,37 @@ def test_quant_export_roundtrip():
         batch["canvas"], batch["trans"], batch["trans_inv"])
     np.testing.assert_allclose(np.asarray(out["kps"]), np.asarray(live["kps"]),
                                atol=0.2)
+
+
+def test_detector_quant_smoke():
+    """quant='w8a8' through the YOLOv5 wrapper: runs, finite, boxes clipped."""
+    from simple_pose_tpu.detector.wrapper import YOLOv5Detector
+
+    with pytest.raises(ValueError, match="quant"):
+        YOLOv5Detector(weights_path=None, scale_name="s", quant="int4")
+
+    det = YOLOv5Detector(weights_path=None, scale_name="s", scale_size=(256, 256),
+                         conf_thresh=0.01, canvas=512, quant="w8a8")
+    img = np.random.default_rng(4).integers(0, 255, size=(300, 400, 3), dtype=np.uint8)
+    boxes = det.single_predict(img)
+    assert boxes.ndim == 2 and boxes.shape[1] == 6
+    assert np.isfinite(boxes).all()
+    if len(boxes):
+        assert boxes[:, 0].min() >= -1e-3 and boxes[:, 2].max() <= 400 + 1e-3
+
+
+def test_fused_quant_smoke():
+    """quant='w8a8' through the single fused detect->pose program."""
+    from simple_pose_tpu.evalkit.fused import FusedDetectPose
+
+    fused = FusedDetectPose(
+        {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        detector_weights=None, scale_name="s", det_size=(256, 256),
+        input_shape=(64, 64), max_people=4, det_conf=0.001, canvas=256,
+        quant="w8a8",
+    )
+    canvases = np.random.default_rng(3).integers(
+        0, 255, size=(1, 256, 256, 3), dtype=np.uint8)
+    out = fused(canvases, [(200, 256)])
+    assert out["kps"].shape == (1, 4, 17, 2)
+    assert np.all(np.isfinite(out["kps"]))
