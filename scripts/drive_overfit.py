@@ -12,6 +12,9 @@ round-1 "full-solver overfit" validation as a repeatable artifact.
     # split + bias 0.1->lr warmup + warmup-cosine-multistep schedule
     OVERFIT_SPLIT_GROUPS=1 OVERFIT_SCHEDULE=warmup_cosine_multistep \
         OVERFIT_OUT=OVERFIT_SPLIT.json python scripts/drive_overfit.py
+    # OVERFIT_QUANT=1: after convergence, save the checkpoint and re-eval it
+    # through the standalone GT workflow in float AND w8a8 -- trained-model
+    # accuracy evidence for the int8 serving path (models/quant.py)
 
 Writes OVERFIT.json (or $OVERFIT_OUT) at the repo root: backend, config,
 per-epoch AP, wall time.
@@ -80,6 +83,22 @@ def main():
         if ap_by_epoch[ep + 1] >= 0.999:
             break
     final_ap = ap_by_epoch[max(ap_by_epoch)]
+    quant_eval = None
+    if os.environ.get("OVERFIT_QUANT", "0") == "1":
+        from simple_pose_tpu.evalkit.workflows import predicts_by_gt
+
+        solver.save_checkpoint(last_ep, final_ap)
+        ckpt = os.path.join(tmp, "weights", f"{mtype}_best")
+        model_cfg = {"type": mtype, "name": mname, "num_joints": 17,
+                     "reduction": mtype != "pose_hrnet"}
+        kw = dict(weights=ckpt, batch_size=16, input_shape=(64, 64),
+                  canvas=192, out_path=os.path.join(tmp, "q.json"),
+                  amp=jax.default_backend() == "tpu")
+        ap_f = predicts_by_gt(img_root, ann_path, model_cfg, **kw)["AP"]
+        ap_q = predicts_by_gt(img_root, ann_path, model_cfg, quant="w8a8", **kw)["AP"]
+        quant_eval = {"float_ap": round(float(ap_f), 4),
+                      "w8a8_ap": round(float(ap_q), 4)}
+        print(json.dumps({"quant_eval": quant_eval}), flush=True)
     out = {
         "backend": jax.default_backend(),
         "model": f"{mtype}:{mname}",
@@ -92,6 +111,8 @@ def main():
         "wall_s": round(time.perf_counter() - t0, 1),
         "reached_1_0": bool(final_ap >= 0.999),
     }
+    if quant_eval is not None:
+        out["quant_eval"] = quant_eval
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            os.environ.get("OVERFIT_OUT", "OVERFIT.json")), "w") as f:
         json.dump(out, f)

@@ -95,18 +95,21 @@ def load_model_variables(model_cfg: dict, weights: Optional[str], crop_shape, dt
         if missing or unexpected:
             print(f"load: {len(missing)} missing, {len(unexpected)} unexpected")
         return model, merged
-    # Orbax directory
+    # Orbax directory (a PoseSolver checkpoint).  Restore templateless: the
+    # solver saves params/EMA *plus* opt_state/step/epoch/val_ap
+    # (train/solver.py save_checkpoint), and a partial template is a hard
+    # error in orbax StandardRestore -- so take the full saved tree and pick
+    # the EMA leaves (what the reference evals with, eval.py ['ema']).
     import orbax.checkpoint as ocp
 
-    template = {
-        "params": variables["params"],
-        "batch_stats": variables.get("batch_stats", {}),
-        "ema_params": variables["params"],
-        "ema_batch_stats": variables.get("batch_stats", {}),
-    }
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(weights), template)
-    return model, {"params": restored["ema_params"], "batch_stats": restored["ema_batch_stats"]}
+        restored = ckptr.restore(os.path.abspath(weights))
+    loaded = {"params": restored["ema_params"],
+              "batch_stats": restored["ema_batch_stats"]}
+    # structural check against the freshly initialized model (loud failure
+    # beats a silently wrong apply)
+    jax.tree.map(lambda a, b: None, variables["params"], loaded["params"])
+    return model, loaded
 
 
 class PoseEvaluator:

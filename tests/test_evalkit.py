@@ -207,3 +207,34 @@ def test_dark_original_decoder_selectable(synth):
     np.testing.assert_allclose(
         out_d["scores"],
         out_d["conf"][..., 0].mean(-1) + out_d["conf"][..., 0].max(-1), rtol=1e-6)
+
+
+def test_load_model_variables_from_solver_checkpoint(tmp_path):
+    """The evaluator must load real PoseSolver checkpoints, which carry
+    opt_state/step/epoch/val_ap alongside the EMA trees (a partial restore
+    template is a hard orbax error), and must eval with the EMA params."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from simple_pose_tpu.evalkit.workflows import load_model_variables
+
+    cfg = {"type": "pose_resnet_dconv", "name": "resnet18",
+           "num_joints": 17, "reduction": True}
+    _, v = load_model_variables(cfg, None, (64, 64))
+    ckpt = {
+        "params": v["params"],
+        "batch_stats": v["batch_stats"],
+        "ema_params": jax.tree.map(lambda a: a + 1.0, v["params"]),
+        "ema_batch_stats": v["batch_stats"],
+        "opt_state": {"count": jnp.zeros(())},
+        "step": jnp.zeros(()),
+        "epoch": 3,
+        "val_ap": 0.5,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(str(tmp_path / "ck"), ckpt, force=True)
+    _, loaded = load_model_variables(cfg, str(tmp_path / "ck"), (64, 64))
+    a = jax.tree.leaves(v["params"])[0]
+    b = jax.tree.leaves(loaded["params"])[0]
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a) + 1.0)
