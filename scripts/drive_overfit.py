@@ -89,8 +89,8 @@ def main():
 
         solver.save_checkpoint(last_ep, final_ap)
         ckpt = os.path.join(tmp, "weights", f"{mtype}_best")
-        model_cfg = {"type": mtype, "name": mname, "num_joints": 17,
-                     "reduction": mtype != "pose_hrnet"}
+        # exactly the training cfg's model block (no SE: 'reduction' unset)
+        model_cfg = {"type": mtype, "name": mname, "num_joints": 17}
         kw = dict(weights=ckpt, batch_size=16, input_shape=(64, 64),
                   canvas=192, out_path=os.path.join(tmp, "q.json"),
                   amp=jax.default_backend() == "tpu")
