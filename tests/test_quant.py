@@ -145,3 +145,28 @@ def test_fused_quant_smoke():
     out = fused(canvases, [(200, 256)])
     assert out["kps"].shape == (1, 4, 17, 2)
     assert np.all(np.isfinite(out["kps"]))
+
+
+def test_w8a8_hrnet_topology_fidelity():
+    """Multi-branch HRNet topology (strided transitions, fuse 1x1s, final
+    1x1 head) through the quantized path on a tiny config."""
+    from simple_pose_tpu.models.hrnet import PoseHRNet
+
+    cfg = {
+        "FINAL_CONV_KERNEL": 1,
+        "LAYER1_NUM_BLOCKS": 2,
+        "STAGE2": {"NUM_MODULES": 1, "NUM_BRANCHES": 2, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [2, 2], "NUM_CHANNELS": [4, 8], "FUSE_METHOD": "SUM"},
+        "STAGE4": {"NUM_MODULES": 2, "NUM_BRANCHES": 3, "BLOCK": "BASIC",
+                   "NUM_BLOCKS": [2, 2, 2], "NUM_CHANNELS": [4, 8, 16], "FUSE_METHOD": "SUM"},
+    }
+    m = PoseHRNet(cfg=cfg, num_joints=3)
+    x = jnp.asarray(np.random.default_rng(5)
+                    .uniform(-0.5, 0.5, (2, 64, 48, 3)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    yf = np.asarray(m.apply(v, x))
+    with quantized("w8a8"):
+        yq = np.asarray(jax.jit(m.apply)(v, x))
+    assert yq.shape == yf.shape
+    cos = (yf * yq).sum() / (np.linalg.norm(yf) * np.linalg.norm(yq))
+    assert cos > 0.99, cos
