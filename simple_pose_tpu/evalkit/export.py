@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "export_evaluator",
+    "export_fused",
     "save_exported",
     "load_exported",
     "serving_fn",
@@ -81,6 +82,44 @@ def export_evaluator(evaluator, batch_size: int, canvas_hw,
                                variables)
         args = (vars_sd, canvas_sd, trans_sd, trans_sd)
 
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    return jax_export.export(fn, **kwargs)(*args)
+
+
+def export_fused(fused, batch_size: int, canvas: int,
+                 *, platforms: Optional[Sequence[str]] = None):
+    """Lower a FusedDetectPose program (detect -> NMS -> crop -> pose ->
+    decode, one device program) to a ``jax.export.Exported``.
+
+    Both networks' weights are baked in.  The exported signature is the
+    fused program's device contract minus the variable trees:
+
+        (canvases u8[B,canvas,canvas,3], lb_trans f32[B,2,3],
+         lb_region f32[B,4], lb_inv_scale f32[B], lb_offset f32[B,2]) -> dict
+
+    The letterbox geometry args are host-side numpy
+    (``FusedDetectPose.host_prep``); a server reuses that helper (or its
+    ~15 lines of geometry) for preprocessing, the same way it already owns
+    image decode.  Exports the default det_size program (rect buckets are
+    separate static shapes -- export one artifact per bucket if needed).
+    """
+    if fused.mesh is not None:
+        raise ValueError(
+            "export_fused requires a single-device program (mesh=None); "
+            "serve a slice by replicating the artifact per chip")
+    from jax import export as jax_export
+
+    b = batch_size
+    sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
+    det_vars, pose_vars = fused.detector.variables, fused.pose_vars
+    program = fused._program
+
+    fn = jax.jit(lambda canvases, lb_trans, lb_region, lb_inv_scale, lb_offset:
+                 program(det_vars, pose_vars, canvases, lb_trans, lb_region,
+                         lb_inv_scale, lb_offset))
+    args = (sds((b, canvas, canvas, 3), jnp.uint8),
+            sds((b, 2, 3), jnp.float32), sds((b, 4), jnp.float32),
+            sds((b,), jnp.float32), sds((b, 2), jnp.float32))
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     return jax_export.export(fn, **kwargs)(*args)
 

@@ -111,3 +111,30 @@ def test_export_cross_platform_lowering(evaluator):
     live = evaluator(batch)
     np.testing.assert_allclose(np.asarray(out["kps"]), np.asarray(live["kps"]),
                                atol=0.2)
+
+
+def test_export_fused_program():
+    """Fused detect->pose exports and reproduces the live program."""
+    from simple_pose_tpu.evalkit.export import export_fused, load_exported
+    from simple_pose_tpu.evalkit.fused import FusedDetectPose
+
+    fused = FusedDetectPose(
+        {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        detector_weights=None, scale_name="s", det_size=(256, 256),
+        input_shape=(64, 64), max_people=4, det_conf=0.001, canvas=256,
+    )
+    rng = np.random.default_rng(7)
+    canvases = rng.integers(0, 255, size=(2, 256, 256, 3), dtype=np.uint8)
+    shapes = [(200, 256), (256, 256)]
+    live = fused(canvases, shapes)
+
+    exported = export_fused(fused, 2, 256)
+    lb = fused.host_prep(shapes)
+    out = load_exported(exported.serialize()).call(canvases, *lb)
+    assert set(out) == set(live)
+    # untrained nets: constant folding (baked weights) amplifies through
+    # NMS + Newton decode on noise heatmaps -- coarse closeness only
+    np.testing.assert_allclose(np.asarray(out["kps"]), np.asarray(live["kps"]),
+                               rtol=1e-3, atol=2.0)
+    np.testing.assert_array_equal(np.asarray(out["det_valid"]),
+                                  np.asarray(live["det_valid"]))
