@@ -149,3 +149,14 @@ def test_detector_wrapper_sharded_equals_single(mesh8):
     b8 = det8.predict_batch(canvases, shapes)
     for a, b in zip(b1, b8):
         np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-4)
+
+
+def test_pose_evaluator_sharded_quant(synth, mesh8):
+    """quant='w8a8' composes with the mesh: int8 convs on every shard,
+    same results as the single-device quantized program (integer conv math
+    is exactly partition-invariant; only the float dequant scale rounds)."""
+    batch = _batch(synth)
+    ev1 = PoseEvaluator(MODEL_CFG, None, (64, 64), amp=None, quant="w8a8")
+    ev8 = PoseEvaluator(MODEL_CFG, None, (64, 64), amp=None, mesh=mesh8,
+                        quant="w8a8")
+    _assert_outputs_close(ev1(batch), ev8(batch))
