@@ -18,6 +18,7 @@ Writes PROBE_INT8_CONV.json.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -62,12 +63,25 @@ def main():
         # inter-layer requantize: scale-free right shift + saturating cast
         return jnp.clip(y >> 7, -128, 127).astype(jnp.int8)
 
+    def w8a8_layer(x, w8):
+        # the models/quant.py path as deployed: bf16 float intermediates,
+        # dynamic per-tensor act scale, int8 conv, float dequant.  This is
+        # the per-layer cost the quantized evaluator actually pays (weight
+        # quantization is constant-folded, so w8 is pre-quantized here).
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
+        x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        y = conv(x8, w8, jnp.int32)
+        return (y.astype(jnp.float32) * (s_x / 64.0)).astype(jnp.bfloat16)
+
     shapes = [
         (128, 64, 48, 64),
         (128, 32, 24, 128),
         (128, 16, 12, 256),
         (128, 8, 6, 512),
     ]
+    if os.environ.get("PROBE_SMALL"):  # CPU smoke: lowering check only
+        shapes = [(2, 8, 8, 16)]
     rng = np.random.default_rng(0)
     rows = []
     for (b, h, w_, c) in shapes:
@@ -87,6 +101,9 @@ def main():
             row.update({"int8_ms": t_i8 * 1e3,
                         "int8_tops": flops / t_i8 / 1e12,
                         "speedup": t_bf / t_i8})
+            t_l = timed(w8a8_layer, xb, w8, args.iters)
+            row.update({"w8a8_layer_ms": t_l * 1e3,
+                        "w8a8_layer_speedup": t_bf / t_l})
         except Exception as e:  # lowering unsupported -> record it
             row["int8_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         rows.append(row)
