@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--det-weights", default=None)
     ap.add_argument("--scale-name", default="l")
     ap.add_argument("--flip-test", action="store_true")
+    ap.add_argument("--quant", default=None, choices=["w8a8"],
+                    help="int8 conv forward (models/quant.py)")
     ap.add_argument("--kp-thresh", type=float, default=0.2)
     ap.add_argument("--out", default="demo_out.jpg")
     args = ap.parse_args()
@@ -58,7 +60,8 @@ def main():
 
     model_cfg = {"type": args.model_type, "name": args.model_name,
                  "num_joints": 17, "reduction": args.reduction}
-    ev = PoseEvaluator(model_cfg, args.weights, (192, 256), flip_test=args.flip_test)
+    ev = PoseEvaluator(model_cfg, args.weights, (192, 256),
+                       flip_test=args.flip_test, quant=args.quant)
 
     canvas_edge = int(np.ceil(max(h, w) / 64) * 64)
     out_img = img.copy()
