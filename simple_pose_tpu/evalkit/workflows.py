@@ -72,6 +72,37 @@ def kps_to_dicts(kps, conf, scores, img_ids, out_list):
         )
 
 
+def _gather_results(out: dict, meta: dict, mesh) -> dict:
+    """One numpy dict of evaluator outputs + host metadata for the full
+    (global) batch.
+
+    Single-process: numpy views, pass-through.  Multi-host: every host holds
+    only its shard of the sharded outputs and only its own metadata, so
+    convert global arrays to the host-local shard and process_allgather
+    everything tiled -- each host then builds the full result list (the
+    reference instead evals on rank 0 only, ddp_pose_resnet_solver.py:
+    153-155; same discipline as PoseSolver.validate)."""
+    if mesh is None or jax.process_count() == 1:
+        return {**{k: np.asarray(v) for k, v in out.items()}, **meta}
+    from jax.experimental import multihost_utils as mhu
+    from jax.sharding import PartitionSpec as P
+
+    host_out = {}
+    for k, v in out.items():
+        if isinstance(v, jax.Array) and not isinstance(v, np.ndarray):
+            v = mhu.global_array_to_host_local_array(v, mesh, P("data"))
+        host_out[k] = np.asarray(v)
+    return mhu.process_allgather({**host_out, **meta}, tiled=True)
+
+
+def _process_shard_kwargs(mesh) -> dict:
+    """Pipeline kwargs sharding the record stream per host (multi-host)."""
+    if mesh is None or jax.process_count() == 1:
+        return {}
+    return {"process_index": jax.process_index(),
+            "process_count": jax.process_count()}
+
+
 def load_model_variables(model_cfg: dict, weights: Optional[str], crop_shape, dtype=None):
     """Build the eval model and load weights from a torch .pth (reference
     layout, ['ema'] key) or an Orbax checkpoint directory (PoseSolver layout,
@@ -195,7 +226,15 @@ class PoseEvaluator:
         if self._host_decode:
             from simple_pose_tpu.ops.decode import decode_dark_original
 
-            kps, conf = decode_dark_original(np.asarray(out["heat"]), batch["trans_inv"])
+            heat = out["heat"]
+            if self.mesh is not None and jax.process_count() > 1:
+                # decode is per-sample: each host decodes its own shard
+                # (batch["trans_inv"] IS the local shard under multi-host)
+                from jax.experimental import multihost_utils as mhu
+                from jax.sharding import PartitionSpec as P
+
+                heat = mhu.global_array_to_host_local_array(heat, self.mesh, P("data"))
+            kps, conf = decode_dark_original(np.asarray(heat), batch["trans_inv"])
             scores = conf[..., 0].mean(-1) + conf[..., 0].max(-1)
             return {"kps": kps, "conf": conf, "scores": scores}
         return out
@@ -203,10 +242,16 @@ class PoseEvaluator:
 
 def _dedup_plan(batch_size: int, dedup: bool, mesh) -> dict:
     """Canvas-dedup pipeline kwargs, bucketed per mesh data-axis shard so the
-    bucket-local gather stays device-local (parallel/mesh.bucketed_gather_crop)."""
+    bucket-local gather stays device-local (parallel/mesh.bucketed_gather_crop).
+
+    batch_size is the per-HOST batch: under multi-host each host packs its
+    local batch into (global data size / process count) buckets -- one per
+    local device -- and the global array concatenates host shards in device
+    order."""
     if not dedup:
         return {}
     n_buckets = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    n_buckets = max(1, n_buckets // jax.process_count())
     per_bucket = max(1, (batch_size // 2) // n_buckets)
     return {"dedup_canvases": per_bucket * n_buckets, "dedup_buckets": n_buckets}
 
@@ -230,17 +275,18 @@ def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
     pipe = PosePipeline(records, batch_size, input_shape=input_shape,
                         output_shape=(input_shape[0] // 4, input_shape[1] // 4),
                         canvas=canvas, augment=False, shuffle=False, drop_last=False,
+                        **_process_shard_kwargs(mesh),
                         **_dedup_plan(batch_size, dedup, mesh))
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
                        mesh=mesh, quant=quant)
     results = []
     for batch in _eval_prefetch(pipe.epoch(0), mesh):
         out = ev(batch)
-        kps = np.asarray(out["kps"])
-        conf = np.asarray(out["conf"])
-        scores = np.asarray(out["scores"])
-        keep = batch["valid"] > 0.5
-        kps_to_dicts(kps[keep], conf[keep], scores[keep], batch["img_id"][keep], results)
+        g = _gather_results(out, {"img_id": batch["img_id"], "valid": batch["valid"]},
+                            mesh)
+        keep = g["valid"] > 0.5
+        kps_to_dicts(g["kps"][keep], g["conf"][keep], g["scores"][keep],
+                     g["img_id"][keep], results)
     with open(out_path, "w") as wf:
         json.dump(results, wf)
     return evaluate_map(out_path, ann_path)
@@ -257,23 +303,27 @@ def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weig
     records = load_detection_boxes(img_root, det_json_path, debug=debug)
     pipe = DetBoxPipeline(records, batch_size, input_shape=input_shape,
                           output_shape=(input_shape[0] // 4, input_shape[1] // 4),
-                          canvas=canvas, **_dedup_plan(batch_size, dedup, mesh))
+                          canvas=canvas, **_process_shard_kwargs(mesh),
+                          **_dedup_plan(batch_size, dedup, mesh))
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
                        mesh=mesh, quant=quant)
     predictions = []
     for batch in _eval_prefetch(pipe.epoch(0), mesh):
         out = ev(batch)
-        kps = np.asarray(out["kps"])
-        conf = np.asarray(out["conf"])
-        for b in range(kps.shape[0]):
-            if batch["valid"][b] < 0.5:
+        g = _gather_results(
+            {"kps": out["kps"], "conf": out["conf"]},
+            {"img_id": batch["img_id"], "valid": batch["valid"],
+             "area": batch["area"], "score": batch["score"]}, mesh)
+        for b in range(g["kps"].shape[0]):
+            if g["valid"][b] < 0.5:
                 continue
             predictions.append(
                 {
-                    "kps": np.concatenate([kps[b], conf[b]], -1).reshape(-1).tolist(),
-                    "area": float(batch["area"][b]),
-                    "score": float(batch["score"][b]),
-                    "img_id": int(batch["img_id"][b]),
+                    "kps": np.concatenate([g["kps"][b], g["conf"][b]], -1)
+                           .reshape(-1).tolist(),
+                    "area": float(g["area"][b]),
+                    "score": float(g["score"][b]),
+                    "img_id": int(g["img_id"][b]),
                 }
             )
     with open(out_path, "w") as wf:

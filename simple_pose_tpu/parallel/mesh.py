@@ -53,8 +53,13 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     process contributes its local shard."""
     sharding = batch_sharding(mesh, axis)
     if jax.process_count() > 1:
+        # values that are already global jax.Arrays (e.g. pre-staged by
+        # device_prefetch) pass through: re-wrapping a non-addressable array
+        # as process-local data is an error
         return {
-            k: jax.make_array_from_process_local_data(sharding, v) for k, v in batch.items()
+            k: v if (isinstance(v, jax.Array) and not isinstance(v, np.ndarray))
+            else jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()
         }
     return jax.device_put(batch, sharding)
 

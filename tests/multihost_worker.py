@@ -82,11 +82,24 @@ stats0 = solver.validate(0, results_path=os.path.join(out_dir, f"val_init_{pid}.
 train_metrics = solver.train_epoch(0, log_every=0)
 stats1 = solver.validate(1, results_path=os.path.join(out_dir, f"val_after_{pid}.json"))
 
+# standalone eval workflow over the global mesh (round-3b): process-sharded
+# pipeline, per-host decode, result allgather (workflows._gather_results) --
+# every host must produce the identical full result list and AP
+from simple_pose_tpu.evalkit.workflows import predicts_by_gt  # noqa: E402
+
+wf_stats = predicts_by_gt(
+    img_root, ann_path,
+    {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+    weights=None, batch_size=4, input_shape=(64, 64), canvas=192,
+    out_path=os.path.join(out_dir, f"wf_gt_{pid}.json"),
+    amp=False, mesh=solver.mesh)
+
 pipe = solver.train_pipe
 with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as wf:
     json.dump({
         "host_info": host_info(),
         "ap_init": stats0["AP"],
+        "wf_gt_ap": wf_stats["AP"],
         "train_loss": train_metrics["loss"],
         "ap_after": stats1["AP"],
         "steps": int(solver.state.step),

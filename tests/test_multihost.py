@@ -56,6 +56,16 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     solver.init_state()
     ap_single = solver.validate(0, results_path=str(tmp_path / "val_single.json"))["AP"]
 
+    # single-process baseline for the standalone GT workflow (same
+    # deterministic PRNGKey(0) init the workers use with weights=None)
+    from simple_pose_tpu.evalkit.workflows import predicts_by_gt
+
+    ap_wf_single = predicts_by_gt(
+        img_root, ann_path,
+        {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        weights=None, batch_size=8, input_shape=(64, 64), canvas=192,
+        out_path=str(tmp_path / "wf_single.json"), amp=False)["AP"]
+
     # -- 2 workers, 4 virtual devices each ---------------------------------
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
@@ -118,6 +128,21 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     # partitionings; everything else must agree numerically
     assert matched / total > 0.9, f"only {matched}/{total} keypoint values match"
 
+    # standalone eval workflow over the global mesh: every host allgathers
+    # the identical full result list; AP tracks the single-process workflow
+    # (loose bound: argmax flips on noise heatmaps, as above)
+    assert results[0]["wf_gt_ap"] == pytest.approx(results[1]["wf_gt_ap"], abs=1e-9)
+    assert results[0]["wf_gt_ap"] == pytest.approx(ap_wf_single, abs=0.05)
+    with open(os.path.join(out_dir, "wf_gt_0.json")) as rf:
+        wf0 = json.load(rf)
+    with open(os.path.join(out_dir, "wf_gt_1.json")) as rf:
+        wf1 = json.load(rf)
+    with open(tmp_path / "wf_single.json") as rf:
+        wf_s = json.load(rf)
+    assert wf0 == wf1  # byte-identical gathered results on both hosts
+    assert (sorted(r["image_id"] for r in wf0)
+            == sorted(r["image_id"] for r in wf_s))
+
 
 def test_two_process_multihost_skewed_dedup(tmp_path):
     """Per-host batch equalization + dedup min-over-hosts on a SKEWED dataset.
@@ -155,6 +180,16 @@ def test_two_process_multihost_skewed_dedup(tmp_path):
     solver = PoseSolver(cfg)
     solver.init_state()
     ap_single = solver.validate(0, results_path=str(tmp_path / "val_single.json"))["AP"]
+
+    # single-process baseline for the standalone GT workflow (same
+    # deterministic PRNGKey(0) init the workers use with weights=None)
+    from simple_pose_tpu.evalkit.workflows import predicts_by_gt
+
+    ap_wf_single = predicts_by_gt(
+        img_root, ann_path,
+        {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        weights=None, batch_size=8, input_shape=(64, 64), canvas=192,
+        out_path=str(tmp_path / "wf_single.json"), amp=False)["AP"]
 
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
