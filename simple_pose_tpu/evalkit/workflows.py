@@ -388,6 +388,14 @@ def gen_detections(img_root, ann_path, detector=None, out_path="person_detection
 
     from simple_pose_tpu.detector.wrapper import YOLOv5Detector, paste_with_border
 
+    if mesh is not None and jax.process_count() > 1:
+        # pose workflows are multi-host (process-sharded + allgather); the
+        # detection dump is an offline one-off (reference: single GPU,
+        # eval.py:69-98) -- run it on one controller per slice
+        raise NotImplementedError(
+            "gen_detections supports a single-controller mesh only; run it "
+            "single-process (its output json then feeds the multi-host "
+            "predicts_by_detections)")
     if detector is None:
         detector = YOLOv5Detector(weights_path=weights_path, scale_name=scale_name,
                                   conf_thresh=conf_thresh, iou_thresh=iou_thresh, canvas=canvas,
