@@ -15,10 +15,13 @@ import jax
 __all__ = ["init_multihost", "host_info"]
 
 
-def init_multihost(coordinator_address=None, num_processes=None, process_id=None):
+def init_multihost(coordinator_address=None, num_processes=None, process_id=None,
+                   **kw):
     """Initialize JAX distributed.  On TPU pods all arguments are discovered
-    from the environment; explicit args support manual clusters."""
-    kwargs = {}
+    from the environment; explicit args support manual clusters.  Extra
+    kwargs forward to jax.distributed.initialize (e.g.
+    shutdown_timeout_seconds for heavily time-skewed test hosts)."""
+    kwargs = dict(kw)
     if coordinator_address is not None:
         kwargs.update(
             coordinator_address=coordinator_address,

@@ -42,8 +42,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from simple_pose_tpu.parallel.distributed import host_info, init_multihost  # noqa: E402
 
+# generous shutdown barrier: on this 1-core box the two workers' exit
+# times can skew by minutes when the whole suite contends for the core
 info = init_multihost(coordinator_address=f"localhost:{port}", num_processes=nproc,
-                      process_id=pid)
+                      process_id=pid, shutdown_timeout_seconds=1200)
 assert info["process_count"] == nproc, info
 assert info["global_devices"] == 4 * nproc, info
 
@@ -77,8 +79,10 @@ solver = PoseSolver(cfg)
 solver.init_state()
 # val on the untrained (seed-deterministic) state: must equal the
 # single-process AP bit-for-bit up to float noise
+print(f"worker {pid}: validate(init)", flush=True)
 stats0 = solver.validate(0, results_path=os.path.join(out_dir, f"val_init_{pid}.json"))
 # one train epoch: executes the cross-host gradient/BN psum over "DCN"
+print(f"worker {pid}: train_epoch", flush=True)
 train_metrics = solver.train_epoch(0, log_every=0)
 stats1 = solver.validate(1, results_path=os.path.join(out_dir, f"val_after_{pid}.json"))
 
@@ -87,6 +91,7 @@ stats1 = solver.validate(1, results_path=os.path.join(out_dir, f"val_after_{pid}
 # every host must produce the identical full result list and AP
 from simple_pose_tpu.evalkit.workflows import predicts_by_gt  # noqa: E402
 
+print(f"worker {pid}: wf predicts_by_gt", flush=True)
 wf_stats = predicts_by_gt(
     img_root, ann_path,
     {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},

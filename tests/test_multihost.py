@@ -84,7 +84,9 @@ def test_two_process_multihost_matches_single_process(tmp_path):
             if p.poll() is None:
                 p.kill()
     for p, out in zip(procs, outputs):
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        assert p.returncode == 0, (
+            "worker failed:\n" + "\n=== next worker ===\n".join(
+                o[-3000:] for o in outputs))
 
     results = []
     for pid in range(2):
@@ -208,7 +210,9 @@ def test_two_process_multihost_skewed_dedup(tmp_path):
             if p.poll() is None:
                 p.kill()
     for p, out in zip(procs, outputs):
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        assert p.returncode == 0, (
+            "worker failed:\n" + "\n=== next worker ===\n".join(
+                o[-3000:] for o in outputs))
 
     results = []
     for pid in range(2):
