@@ -32,7 +32,27 @@ def _enable_compile_cache():
     except Exception:
         pass
 
+def _require_live_backend(timeout_s: int = 240):
+    """Fail fast (exit 3) if `import jax` would hang on a dead TPU tunnel.
+
+    The axon sitecustomize phones the tunnel during jax import (even with
+    JAX_PLATFORMS=cpu), so a tunnel outage turns the bench into an
+    indefinite hang; probe importability in a killable subprocess first."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"bench: jax backend unavailable ({type(e).__name__}); "
+              "TPU tunnel down?", file=sys.stderr)
+        raise SystemExit(3)
+
+
 def main():
+    _require_live_backend()
     _enable_compile_cache()
     import jax
     import jax.numpy as jnp
