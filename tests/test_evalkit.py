@@ -238,3 +238,32 @@ def test_load_model_variables_from_solver_checkpoint(tmp_path):
     a = jax.tree.leaves(v["params"])[0]
     b = jax.tree.leaves(loaded["params"])[0]
     np.testing.assert_allclose(np.asarray(b), np.asarray(a) + 1.0)
+
+
+def test_export_cli_roundtrip(tmp_path, monkeypatch):
+    """`python eval.py export` writes a loadable serving artifact (the
+    docs/SERVING.md entry command), including the --quant variant."""
+    import sys
+
+    import numpy as np
+
+    import eval as eval_cli
+    from simple_pose_tpu.evalkit.export import serving_fn
+
+    out = tmp_path / "pose.stablehlo"
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "export", "--model-name", "resnet18", "--reduction",
+        "--batch-size", "2", "--canvas", "96", "--input-w", "64",
+        "--input-h", "64", "--quant", "w8a8", "--no-amp",
+        "--out", str(out),
+    ])
+    eval_cli.main()
+    assert out.stat().st_size > 1_000_000
+
+    call = serving_fn(str(out))
+    rng = np.random.default_rng(0)
+    res = call(rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8),
+               np.tile(np.array([[2 / 3, 0, 2], [0, 2 / 3, 2]], np.float32), (2, 1, 1)),
+               np.tile(np.array([[6.0, 0, 0], [0, 6.0, 0]], np.float32), (2, 1, 1)))
+    assert res["kps"].shape == (2, 17, 2)
+    assert np.isfinite(np.asarray(res["kps"])).all()
