@@ -166,11 +166,20 @@ def main():
             bake_weights=not args.external_weights,
             platforms=args.platforms.split(",") if args.platforms else None)
         n = save_exported(exported, args.out)
-        print(json.dumps({
+        info = {
             "out": args.out, "bytes": n,
             "platforms": list(exported.platforms),
             "batch": args.batch_size, "canvas": args.canvas,
-        }))
+            "input_shape": [args.input_w, args.input_h],
+            "model": _model_cfg(args), "decoder": args.decoder,
+            "flip_test": args.flip_test, "quant": args.quant,
+            "amp": not args.no_amp, "weights": args.weights,
+            "external_weights": args.external_weights,
+        }
+        # sidecar: the artifact's input contract for serving consumers
+        with open(args.out + ".json", "w") as wf:
+            json.dump(info, wf, indent=1)
+        print(json.dumps(info))
         return
     elif args.cmd == "rescore":
         stats = evalkit.rescore_and_filter(args.preds, args.ann, args.in_vis_thre, args.oks_thre)

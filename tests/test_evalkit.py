@@ -259,6 +259,8 @@ def test_export_cli_roundtrip(tmp_path, monkeypatch):
     ])
     eval_cli.main()
     assert out.stat().st_size > 1_000_000
+    sidecar = json.load(open(str(out) + ".json"))
+    assert sidecar["quant"] == "w8a8" and sidecar["canvas"] == 96
 
     call = serving_fn(str(out))
     rng = np.random.default_rng(0)
