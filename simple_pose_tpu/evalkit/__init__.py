@@ -1,5 +1,6 @@
 from simple_pose_tpu.evalkit.export import (
     export_evaluator,
+    export_fused,
     load_exported,
     save_exported,
     serving_fn,
