@@ -74,6 +74,15 @@ def main():
         y = conv(x8, w8, jnp.int32)
         return (y.astype(jnp.float32) * (s_x / 64.0)).astype(jnp.bfloat16)
 
+    def w8a8_static_layer(x, w8):
+        # calibrated-scale variant (quant.calibrate_w8a8): s_x is a
+        # compile-time constant, so the dynamic max-reduce disappears --
+        # this row isolates what that reduce costs per shape
+        xf = x.astype(jnp.float32)
+        x8 = jnp.clip(jnp.round(xf / 0.05), -127, 127).astype(jnp.int8)
+        y = conv(x8, w8, jnp.int32)
+        return (y.astype(jnp.float32) * (0.05 / 64.0)).astype(jnp.bfloat16)
+
     shapes = [
         (128, 64, 48, 64),
         (128, 32, 24, 128),
@@ -104,6 +113,9 @@ def main():
             t_l = timed(w8a8_layer, xb, w8, args.iters)
             row.update({"w8a8_layer_ms": t_l * 1e3,
                         "w8a8_layer_speedup": t_bf / t_l})
+            t_s = timed(w8a8_static_layer, xb, w8, args.iters)
+            row.update({"w8a8_static_ms": t_s * 1e3,
+                        "w8a8_static_speedup": t_bf / t_s})
         except Exception as e:  # lowering unsupported -> record it
             row["int8_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         rows.append(row)

@@ -159,7 +159,10 @@ class PoseEvaluator:
     def __init__(self, model_cfg: dict, weights: Optional[str] = None,
                  input_shape=(192, 256), decoder: str = "gauss_taylor",
                  flip_test: bool = False, amp="auto", mesh=None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None, quant_scales: Optional[dict] = None):
+        """quant_scales: calibrated activation scales
+        (models/quant.calibrate_w8a8) -- compile-time constants replacing the
+        dynamic per-batch max-reduce."""
         from simple_pose_tpu.models.quant import QUANT_MODES, quantized
 
         if quant not in QUANT_MODES:
@@ -199,11 +202,11 @@ class PoseEvaluator:
             x = crops / 255.0 - RGB_MEAN
             # quant='w8a8' swaps every nn.Conv for the int8-MXU forward
             # (models/quant.py) at trace time; None is a no-op context
-            with quantized(quant):
+            with quantized(quant, quant_scales):
                 heat = self.model.apply(variables, x).transpose(0, 3, 1, 2).astype(jnp.float32)
             if flip_test:
                 xf = x[:, :, ::-1, :]
-                with quantized(quant):
+                with quantized(quant, quant_scales):
                     hf = self.model.apply(variables, xf).transpose(0, 3, 1, 2).astype(jnp.float32)
                 hf = hf[:, flip_perm, :, ::-1]
                 # SimpleBaselines convention: shift flipped maps 1px right

@@ -33,7 +33,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["quantized", "QUANT_MODES"]
+__all__ = ["quantized", "calibrate_w8a8", "QUANT_MODES"]
 
 QUANT_MODES = (None, "w8a8")
 
@@ -42,14 +42,20 @@ def _seq2(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
-def _w8a8_conv(module: nn.Conv, x):
+def _w8a8_conv(module: nn.Conv, x, act_scales=None):
     """Quantized replacement for a bound nn.Conv's forward."""
     w = module.get_variable("params", "kernel").astype(jnp.float32)
     s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0, 1e-8)
     w8 = jnp.round(w / s_w).astype(jnp.int8)
 
     xf = x.astype(jnp.float32)
-    s_x = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
+    static = act_scales.get("/".join(module.path)) if act_scales else None
+    if static is not None:
+        # calibrated scale: a compile-time constant, so the dynamic
+        # max-reduce over the activations disappears from the graph
+        s_x = jnp.float32(static)
+    else:
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
     x8 = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
 
     padding = module.padding
@@ -70,22 +76,52 @@ def _w8a8_conv(module: nn.Conv, x):
     return out.astype(module.dtype or x.dtype)
 
 
-def _w8a8_interceptor(next_fun, args, kwargs, context):
+def _is_quantizable_conv(context) -> bool:
     m = context.module
-    if (context.method_name == "__call__" and type(m) is nn.Conv
-            and m.has_variable("params", "kernel")):
-        return _w8a8_conv(m, args[0])
-    return next_fun(*args, **kwargs)
+    return (context.method_name == "__call__" and type(m) is nn.Conv
+            and m.has_variable("params", "kernel"))
 
 
-def quantized(mode):
+def quantized(mode, act_scales=None):
     """Context manager activating a quantization mode for model.apply.
 
     mode=None is a no-op (so call sites can pass the config value through);
     'w8a8' intercepts every nn.Conv as documented above.
+
+    act_scales: optional {module-path: s_x} dict from :func:`calibrate_w8a8`.
+    Convs with a calibrated entry use it as a compile-time constant (no
+    dynamic max-reduce over the activations); others stay dynamic.
     """
     if mode is None:
         return contextlib.nullcontext()
     if mode == "w8a8":
-        return nn.intercept_methods(_w8a8_interceptor)
+        def interceptor(next_fun, args, kwargs, context):
+            if _is_quantizable_conv(context):
+                return _w8a8_conv(context.module, args[0], act_scales)
+            return next_fun(*args, **kwargs)
+
+        return nn.intercept_methods(interceptor)
     raise ValueError(f"unknown quant mode {mode!r}; expected one of {QUANT_MODES}")
+
+
+def calibrate_w8a8(apply_fn, inputs):
+    """Record per-conv activation scales over calibration inputs.
+
+    Runs ``apply_fn(x)`` (UN-jitted -- the recorder reads concrete values)
+    for each x in ``inputs`` with a float forward, recording
+    max|activation| per conv module path.  Returns {path: s_x} for
+    ``quantized('w8a8', act_scales=...)``.
+    """
+    maxes: dict = {}
+
+    def recorder(next_fun, args, kwargs, context):
+        if _is_quantizable_conv(context):
+            key = "/".join(context.module.path)
+            amax = float(jnp.max(jnp.abs(args[0])))
+            maxes[key] = max(maxes.get(key, 0.0), amax)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(recorder):
+        for x in inputs:
+            apply_fn(x)
+    return {k: max(v / 127.0, 1e-8) for k, v in maxes.items()}

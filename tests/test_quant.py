@@ -170,3 +170,56 @@ def test_w8a8_hrnet_topology_fidelity():
     assert yq.shape == yf.shape
     cos = (yf * yq).sum() / (np.linalg.norm(yf) * np.linalg.norm(yq))
     assert cos > 0.99, cos
+
+
+def test_calibrated_static_scales_match_dynamic():
+    """calibrate_w8a8 scales equal the calibration batch's dynamic maxes, so
+    the static-scale program reproduces the dynamic one on that batch; on a
+    hotter batch the static path saturates (clips) instead of rescaling."""
+    from simple_pose_tpu.models import build_model
+    from simple_pose_tpu.models.quant import calibrate_w8a8
+
+    m = build_model("pose_resnet_dconv", "resnet18", num_joints=17,
+                    train=False, reduction=True)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    x = jnp.asarray(np.random.default_rng(3)
+                    .uniform(-0.5, 0.5, (2, 64, 64, 3)).astype(np.float32))
+
+    scales = calibrate_w8a8(lambda a: m.apply(v, a), [x])
+    assert len(scales) > 15 and all(s > 0 for s in scales.values())
+
+    with quantized("w8a8"):
+        dyn = np.asarray(jax.jit(m.apply)(v, x))
+    with quantized("w8a8", scales):
+        stat = np.asarray(jax.jit(m.apply)(v, x))
+    np.testing.assert_allclose(stat, dyn, rtol=1e-5, atol=1e-7)
+
+    # a scale missing from the dict falls back to dynamic (partial calib)
+    some = dict(list(scales.items())[:3])
+    with quantized("w8a8", some):
+        part = np.asarray(jax.jit(m.apply)(v, x))
+    np.testing.assert_allclose(part, dyn, rtol=1e-5, atol=1e-7)
+
+
+def test_evaluator_quant_static_scales():
+    from simple_pose_tpu.models.quant import calibrate_w8a8
+    from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+
+    cfg = {"type": "pose_resnet_dconv", "name": "resnet18",
+           "num_joints": 17, "reduction": True}
+    ev_dyn = PoseEvaluator(cfg, None, input_shape=(64, 64), amp=None,
+                           quant="w8a8")
+    x = jnp.asarray(np.random.default_rng(4)
+                    .uniform(-0.5, 0.5, (4, 64, 64, 3)).astype(np.float32))
+    scales = calibrate_w8a8(lambda a: ev_dyn.model.apply(ev_dyn.variables, a), [x])
+    ev_stat = PoseEvaluator(cfg, None, input_shape=(64, 64), amp=None,
+                            quant="w8a8", quant_scales=scales)
+    rng = np.random.default_rng(0)
+    s = 96 / 64.0
+    batch = {
+        "canvas": rng.integers(0, 255, (4, 96, 96, 3), dtype=np.uint8),
+        "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (4, 1, 1)),
+        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (4, 1, 1)),
+    }
+    out = ev_stat(batch)
+    assert np.isfinite(np.asarray(out["kps"])).all()
