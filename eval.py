@@ -58,6 +58,13 @@ def main():
                            help="force float32 compute (default: bf16 on TPU)")
             p.add_argument("--quant", default=None, choices=["w8a8"],
                            help="int8 quantized conv forward (serving extra)")
+            p.add_argument("--quant-calib", type=int, default=0, metavar="N",
+                           help="calibrate static w8a8 activation scales on the "
+                                "first N batches (kills the dynamic max-reduce)")
+            p.add_argument("--scales", default=None,
+                           help="load calibrated w8a8 scales json")
+            p.add_argument("--save-scales", default=None,
+                           help="write calibrated w8a8 scales json (with --quant-calib)")
 
     p = sub.add_parser("gt", help="GT-box eval")
     common(p)
@@ -95,6 +102,10 @@ def main():
     p.add_argument("--flip-test", action="store_true")
     p.add_argument("--no-amp", action="store_true")
     p.add_argument("--quant", default=None, choices=["w8a8"])
+    p.add_argument("--scales", default=None,
+                   help="calibrated w8a8 scales json (eval.py gt --quant-calib "
+                        "--save-scales): bakes a fully static int8 program, no "
+                        "dynamic activation max-reduce in the artifact")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--canvas", type=int, default=640)
     p.add_argument("--input-w", type=int, default=192)
@@ -122,13 +133,24 @@ def main():
     args = ap.parse_args()
     from simple_pose_tpu import evalkit
 
+    def _quant_kwargs(a):
+        if not getattr(a, "quant", None):
+            return {"quant": None}
+        scales = None
+        if getattr(a, "scales", None):
+            from simple_pose_tpu.models.quant import load_scales
+
+            scales = load_scales(a.scales)
+        return {"quant": a.quant, "quant_calib": a.quant_calib,
+                "quant_scales": scales, "quant_scales_out": a.save_scales}
+
     if args.cmd == "gt":
         stats = evalkit.predicts_by_gt(
             args.img_root, args.ann, _model_cfg(args), weights=args.weights,
             batch_size=args.batch_size, decoder=args.decoder,
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
-            quant=args.quant,
+            **_quant_kwargs(args),
         )
     elif args.cmd == "detections":
         stats = evalkit.predicts_by_detections(
@@ -136,7 +158,7 @@ def main():
             batch_size=args.batch_size, decoder=args.decoder,
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
-            quant=args.quant,
+            **_quant_kwargs(args),
         )
     elif args.cmd == "gen-dets":
         from simple_pose_tpu.evalkit.workflows import gen_detections
@@ -156,11 +178,16 @@ def main():
         from simple_pose_tpu.evalkit.export import export_evaluator, save_exported
         from simple_pose_tpu.evalkit.workflows import PoseEvaluator
 
+        scales = None
+        if args.scales:
+            from simple_pose_tpu.models.quant import load_scales
+
+            scales = load_scales(args.scales)
         evaluator = PoseEvaluator(
             _model_cfg(args), weights=args.weights,
             input_shape=(args.input_w, args.input_h), decoder=args.decoder,
             flip_test=args.flip_test, amp=False if args.no_amp else "auto",
-            quant=args.quant)
+            quant=args.quant, quant_scales=scales)
         exported = export_evaluator(
             evaluator, args.batch_size, (args.canvas, args.canvas),
             bake_weights=not args.external_weights,
@@ -173,6 +200,7 @@ def main():
             "input_shape": [args.input_w, args.input_h],
             "model": _model_cfg(args), "decoder": args.decoder,
             "flip_test": args.flip_test, "quant": args.quant,
+            "static_scales": bool(args.scales),
             "amp": not args.no_amp, "weights": args.weights,
             "external_weights": args.external_weights,
         }
@@ -192,7 +220,7 @@ def main():
             batch_size=args.batch_size, flip_test=args.flip_test, debug=args.debug,
             detector_family=args.detector_family,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
-            quant=args.quant,
+            **_quant_kwargs(args),
         )
     print(json.dumps({k: round(float(v), 4) for k, v in stats.items()}, indent=2))
 

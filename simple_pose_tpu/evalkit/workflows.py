@@ -168,6 +168,7 @@ class PoseEvaluator:
         if quant not in QUANT_MODES:
             raise ValueError(f"quant={quant!r}; expected one of {QUANT_MODES}")
         self.quant = quant
+        self.quant_scales = quant_scales
         self.crop_shape = (input_shape[1], input_shape[0])
         self.out_shape = (input_shape[1] // 4, input_shape[0] // 4)
         self.mesh = mesh
@@ -183,10 +184,19 @@ class PoseEvaluator:
         # (DarkPoseOriginalKeyPointDecoder, pose_metrics.py:110-169): host-
         # side loop numpy; the jitted program then stops at the heatmaps.
         self._host_decode = decoder == "dark_original"
-        decode = decode_basic if decoder == "basic" else decode_gauss_taylor
-        flip_perm = jnp.asarray(_flip_perm(self.num_joints))
+        self._decode = decode_basic if decoder == "basic" else decode_gauss_taylor
+        self._flip_perm = jnp.asarray(_flip_perm(self.num_joints))
+        self._crop_fn = lambda c, t: affine_crop_separable(c, t, self.crop_shape)
+        self._step = self._build_step(quant_scales)
 
-        crop_fn = lambda c, t: affine_crop_separable(c, t, self.crop_shape)
+    def _build_step(self, quant_scales):
+        """Jit the crop->forward->decode step; ``quant_scales`` entries become
+        compile-time constants (see :meth:`calibrate`)."""
+        from simple_pose_tpu.models.quant import quantized
+
+        mesh, quant, flip_test = self.mesh, self.quant, self.flip_test
+        crop_fn, decode, flip_perm = self._crop_fn, self._decode, self._flip_perm
+        host_decode = self._host_decode
 
         def step(variables, batch):
             if "canvas_idx" in batch:  # dedup'd batch: one canvas per image
@@ -212,12 +222,55 @@ class PoseEvaluator:
                 # SimpleBaselines convention: shift flipped maps 1px right
                 hf = jnp.concatenate([hf[..., :1], hf[..., :-1]], axis=-1)
                 heat = (heat + hf) * 0.5
-            if self._host_decode:
+            if host_decode:
                 return {"heat": heat}
             kps, conf = decode(heat, batch["trans_inv"])
             return {"kps": kps, "conf": conf, "scores": instance_scores(conf)}
 
-        self._step = jax.jit(step)
+        return jax.jit(step)
+
+    def calibrate(self, batches, num_batches: int = 2) -> dict:
+        """Record static w8a8 activation scales on eval batches, then rebuild
+        the jitted step with them as compile-time constants -- the deployed
+        program loses every dynamic per-batch max-reduce.
+
+        ``batches`` is a pipeline batch stream (e.g. ``pipe.epoch(0)``); the
+        first ``num_batches`` are cropped and forwarded un-jitted with the
+        recording interceptor (models/quant.calibrate_w8a8).  Returns the
+        {conv-path: s_x} dict (persist via ``models.quant.save_scales`` and
+        feed ``eval.py export --scales`` for a fully static serving
+        artifact).  Multi-host: scales are max-reduced across processes so
+        every host traces the identical SPMD program."""
+        from simple_pose_tpu.models.quant import calibrate_w8a8
+
+        if self.quant is None:
+            raise ValueError("calibrate() requires a quant mode (quant='w8a8')")
+        inputs = []
+        for i, batch in enumerate(batches):
+            if i >= num_batches:
+                break
+            canvas = jnp.asarray(batch["canvas"])
+            if "canvas_idx" in batch:
+                canvas = canvas[jnp.asarray(batch["canvas_idx"])]
+            x = self._crop_fn(canvas, jnp.asarray(batch["trans"])) / 255.0 - RGB_MEAN
+            inputs.append(x)
+            if self.flip_test:  # the flipped forward quantizes too
+                inputs.append(x[:, :, ::-1, :])
+        if not inputs:
+            raise ValueError("calibrate() got an empty batch stream")
+        scales = calibrate_w8a8(
+            lambda x: self.model.apply(self.variables, x), inputs)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils as mhu
+
+            keys = sorted(scales)
+            gathered = np.asarray(mhu.process_allgather(
+                np.array([scales[k] for k in keys], np.float32)))
+            scales = {k: float(v)
+                      for k, v in zip(keys, gathered.reshape(-1, len(keys)).max(0))}
+        self.quant_scales = scales
+        self._step = self._build_step(scales)
+        return scales
 
     def __call__(self, batch):
         dev = {k: batch[k] for k in self._DEVICE_KEYS if k in batch}
@@ -259,6 +312,20 @@ def _dedup_plan(batch_size: int, dedup: bool, mesh) -> dict:
     return {"dedup_canvases": per_bucket * n_buckets, "dedup_buckets": n_buckets}
 
 
+def _maybe_calibrate(ev: "PoseEvaluator", pipe, quant_calib: int,
+                     quant_scales_out: Optional[str]) -> None:
+    """Workflow-level static-scale calibration: run the evaluator's recorder
+    over the first ``quant_calib`` batches of a fresh (deterministic,
+    unshuffled) epoch, then optionally persist the scales."""
+    if not quant_calib:
+        return
+    ev.calibrate(pipe.epoch(0), quant_calib)
+    if quant_scales_out:
+        from simple_pose_tpu.models.quant import save_scales
+
+        save_scales(ev.quant_scales, quant_scales_out)
+
+
 def _eval_prefetch(batches, mesh):
     """Prefetched batch stream for the eval loops: mesh-sharded staging when
     a mesh is given, plain async device_put otherwise."""
@@ -272,8 +339,13 @@ def _eval_prefetch(batches, mesh):
 def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                    input_shape=(192, 256), decoder="gauss_taylor", flip_test=False,
                    out_path="test_gt_kpt.json", canvas=640, debug=0, dedup=True,
-                   amp="auto", mesh=None, quant=None):
-    """GT-box eval (eval.py:30-66).  Returns the stats dict."""
+                   amp="auto", mesh=None, quant=None, quant_calib=0,
+                   quant_scales=None, quant_scales_out=None):
+    """GT-box eval (eval.py:30-66).  Returns the stats dict.
+
+    quant_calib: calibrate static w8a8 activation scales on the first N
+    batches before the eval loop (PoseEvaluator.calibrate); quant_scales
+    feeds precomputed scales; quant_scales_out persists calibrated scales."""
     records = load_coco_keypoints(img_root, ann_path, debug=debug)
     pipe = PosePipeline(records, batch_size, input_shape=input_shape,
                         output_shape=(input_shape[0] // 4, input_shape[1] // 4),
@@ -281,7 +353,8 @@ def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                         **_process_shard_kwargs(mesh),
                         **_dedup_plan(batch_size, dedup, mesh))
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
-                       mesh=mesh, quant=quant)
+                       mesh=mesh, quant=quant, quant_scales=quant_scales)
+    _maybe_calibrate(ev, pipe, quant_calib, quant_scales_out)
     results = []
     for batch in _eval_prefetch(pipe.epoch(0), mesh):
         out = ev(batch)
@@ -299,7 +372,8 @@ def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weig
                            batch_size=32, input_shape=(192, 256), decoder="gauss_taylor",
                            flip_test=False, out_path="predicts_kps_temp.json", canvas=640,
                            in_vis_thre=0.2, oks_thre=0.9, debug=0, dedup=True, amp="auto",
-                           mesh=None, quant=None):
+                           mesh=None, quant=None, quant_calib=0, quant_scales=None,
+                           quant_scales_out=None):
     """Detector-box eval + OKS-NMS rescoring (eval.py:101-150 + 153-197).
 
     Returns the stats dict of the rescored/filtered predictions."""
@@ -309,7 +383,8 @@ def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weig
                           canvas=canvas, **_process_shard_kwargs(mesh),
                           **_dedup_plan(batch_size, dedup, mesh))
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
-                       mesh=mesh, quant=quant)
+                       mesh=mesh, quant=quant, quant_scales=quant_scales)
+    _maybe_calibrate(ev, pipe, quant_calib, quant_scales_out)
     predictions = []
     for batch in _eval_prefetch(pipe.epoch(0), mesh):
         out = ev(batch)
@@ -441,7 +516,8 @@ def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
                      detector_weights=None, scale_name="l", det_conf=0.25, det_iou=0.5,
                      batch_size=32, input_shape=(192, 256), flip_test=False,
                      work_dir=".", debug=0, detector_family="yolov5", amp="auto",
-                     mesh=None, quant=None):
+                     mesh=None, quant=None, quant_calib=0, quant_scales=None,
+                     quant_scales_out=None):
     """End-to-end detect -> crop -> pose -> rescoring AP
     (README.md:94-106 workflow; BASELINE.json config #5)."""
     det_path = os.path.join(work_dir, "person_detections.json")
@@ -453,5 +529,6 @@ def detect_then_pose(img_root, ann_path, pose_model_cfg, pose_weights=None,
         img_root, det_path, ann_path, pose_model_cfg, weights=pose_weights,
         batch_size=batch_size, input_shape=input_shape, flip_test=flip_test,
         out_path=os.path.join(work_dir, "predicts_kps_temp.json"), amp=amp, mesh=mesh,
-        quant=quant,
+        quant=quant, quant_calib=quant_calib, quant_scales=quant_scales,
+        quant_scales_out=quant_scales_out,
     )

@@ -33,7 +33,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["quantized", "calibrate_w8a8", "QUANT_MODES"]
+__all__ = ["quantized", "calibrate_w8a8", "save_scales", "load_scales",
+           "QUANT_MODES"]
 
 QUANT_MODES = (None, "w8a8")
 
@@ -125,3 +126,21 @@ def calibrate_w8a8(apply_fn, inputs):
         for x in inputs:
             apply_fn(x)
     return {k: max(v / 127.0, 1e-8) for k, v in maxes.items()}
+
+
+def save_scales(scales: dict, path: str) -> None:
+    """Persist calibrated {conv-path: s_x} scales as JSON (the portable
+    companion of a jax.export serving artifact: calibrate once on val data,
+    export a fully static int8 program anywhere)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({k: float(v) for k, v in scales.items()}, f, indent=1)
+
+
+def load_scales(path: str) -> dict:
+    """Load scales written by :func:`save_scales`."""
+    import json
+
+    with open(path) as f:
+        return {k: float(v) for k, v in json.load(f).items()}

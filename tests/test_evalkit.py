@@ -36,6 +36,36 @@ def test_predicts_by_gt_runs(synth, tmp_path):
     assert len(results[0]["keypoints"]) == 51
 
 
+def test_predicts_by_gt_quant_calib(synth, tmp_path):
+    """--quant w8a8 --quant-calib: the workflow calibrates static activation
+    scales on the leading batches, persists them, and a rerun loading the
+    saved scales reproduces the calibrated predictions."""
+    from simple_pose_tpu.models.quant import load_scales
+
+    img_root, ann_path, _ = synth
+    scales_path = str(tmp_path / "scales.json")
+    stats = predicts_by_gt(
+        img_root, ann_path, MODEL_CFG, weights=None, batch_size=4,
+        input_shape=(64, 64), canvas=192, out_path=str(tmp_path / "q1.json"),
+        quant="w8a8", quant_calib=1, quant_scales_out=scales_path,
+    )
+    assert "AP" in stats
+    scales = load_scales(scales_path)
+    assert len(scales) > 15 and all(v > 0 for v in scales.values())
+
+    stats2 = predicts_by_gt(
+        img_root, ann_path, MODEL_CFG, weights=None, batch_size=4,
+        input_shape=(64, 64), canvas=192, out_path=str(tmp_path / "q2.json"),
+        quant="w8a8", quant_scales=scales,
+    )
+    r1 = json.load(open(tmp_path / "q1.json"))
+    r2 = json.load(open(tmp_path / "q2.json"))
+    k1 = np.array([r["keypoints"] for r in r1])
+    k2 = np.array([r["keypoints"] for r in r2])
+    np.testing.assert_allclose(k1, k2, atol=1e-5)
+    assert stats2["AP"] == stats["AP"]
+
+
 def test_predicts_by_detections_and_rescoring(synth, tmp_path):
     img_root, ann_path, gt = synth
     # build a fake detection json from the gt boxes (+ one duplicate)

@@ -223,3 +223,66 @@ def test_evaluator_quant_static_scales():
     }
     out = ev_stat(batch)
     assert np.isfinite(np.asarray(out["kps"])).all()
+
+
+def test_evaluator_calibrate_rebuilds_static_step(tmp_path):
+    """PoseEvaluator.calibrate on an eval batch: the rebuilt static-scale
+    program tracks the dynamic one on the calibration batch (its scales ARE
+    that batch's maxes), and the scales persist through save/load."""
+    from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+    from simple_pose_tpu.models.quant import load_scales, save_scales
+
+    cfg = {"type": "pose_resnet_dconv", "name": "resnet18",
+           "num_joints": 17, "reduction": True}
+    rng = np.random.default_rng(7)
+    s = 96 / 64.0
+    batch = {
+        "canvas": rng.integers(0, 255, (4, 96, 96, 3), dtype=np.uint8),
+        "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (4, 1, 1)),
+        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (4, 1, 1)),
+    }
+
+    ev = PoseEvaluator(cfg, None, input_shape=(64, 64), amp=None, quant="w8a8")
+    scales = ev.calibrate(iter([batch]), num_batches=1)
+    assert scales is ev.quant_scales and len(scales) > 15
+    assert all(v > 0 for v in scales.values())
+    stat = ev(batch)
+    assert np.isfinite(np.asarray(stat["kps"])).all()
+
+    # heatmap-level fidelity: calibration records FLOAT-forward maxes, so the
+    # static program is close to (not bit-equal with) the dynamic one; with
+    # random weights the decoded argmax is chaotic, the heatmaps are not
+    from simple_pose_tpu.data.pipeline import RGB_MEAN
+    from simple_pose_tpu.models.quant import quantized
+
+    x = ev._crop_fn(jnp.asarray(batch["canvas"]),
+                    jnp.asarray(batch["trans"])) / 255.0 - RGB_MEAN
+    with quantized("w8a8"):
+        hd = np.asarray(ev.model.apply(ev.variables, x), np.float32)
+    with quantized("w8a8", scales):
+        hs = np.asarray(ev.model.apply(ev.variables, x), np.float32)
+    cos = (hd * hs).sum() / (np.linalg.norm(hd) * np.linalg.norm(hs))
+    assert cos > 0.99, cos
+
+    # the rebuilt step IS the constructor's static-scale program
+    path = str(tmp_path / "scales.json")
+    save_scales(scales, path)
+    loaded = load_scales(path)
+    assert loaded == {k: float(v) for k, v in scales.items()}
+    ev2 = PoseEvaluator(cfg, None, input_shape=(64, 64), amp=None,
+                        quant="w8a8", quant_scales=loaded)
+    np.testing.assert_allclose(np.asarray(ev2(batch)["kps"]),
+                               np.asarray(stat["kps"]), atol=1e-5)
+
+
+def test_calibrate_requires_quant_mode():
+    from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+
+    cfg = {"type": "pose_resnet_dconv", "name": "resnet18",
+           "num_joints": 17, "reduction": True}
+    ev = PoseEvaluator(cfg, None, input_shape=(64, 64), amp=None)
+    with pytest.raises(ValueError, match="quant"):
+        ev.calibrate(iter([]), 1)
+    ev_q = PoseEvaluator(cfg, None, input_shape=(64, 64), amp=None, quant="w8a8")
+    with pytest.raises(ValueError, match="empty"):
+        ev_q.calibrate(iter([]), 1)
