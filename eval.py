@@ -85,6 +85,13 @@ def main():
     p.add_argument("--no-amp", action="store_true",
                    help="force float32 compute (default: bf16 on TPU)")
     p.add_argument("--quant", default=None, choices=["w8a8"])
+    p.add_argument("--quant-calib", type=int, default=0, metavar="N",
+                   help="calibrate static w8a8 activation scales on the "
+                        "first N batches (kills the dynamic max-reduce)")
+    p.add_argument("--scales", default=None,
+                   help="load calibrated w8a8 detector scales json")
+    p.add_argument("--save-scales", default=None,
+                   help="write calibrated w8a8 scales json (with --quant-calib)")
     p.add_argument("--canvas", type=int, default=1280)
     p.add_argument("--conf", type=float, default=0.25)
     p.add_argument("--iou", type=float, default=0.5)
@@ -165,13 +172,19 @@ def main():
 
         from simple_pose_tpu.detector.wrapper import YOLOv5Detector
 
+        scales = None
+        if args.scales:
+            from simple_pose_tpu.models.quant import load_scales
+
+            scales = load_scales(args.scales)
         detector = YOLOv5Detector(
             weights_path=args.det_weights, scale_name=args.scale_name,
             conf_thresh=args.conf, iou_thresh=args.iou, canvas=args.canvas,
             model_family=args.detector_family, amp=False if args.no_amp else "auto",
-            mesh=_mesh(args), rect=args.rect, quant=args.quant)
+            mesh=_mesh(args), rect=args.rect, quant=args.quant, quant_scales=scales)
         gen_detections(args.img_root, args.ann, detector=detector, out_path=args.out,
-                       batch_size=args.batch_size, debug=args.debug, canvas=args.canvas)
+                       batch_size=args.batch_size, debug=args.debug, canvas=args.canvas,
+                       quant_calib=args.quant_calib, quant_scales_out=args.save_scales)
         print(f"wrote {args.out}")
         return
     elif args.cmd == "export":

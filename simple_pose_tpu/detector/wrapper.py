@@ -94,6 +94,29 @@ def rect_letterbox_params(h, w, target=(640, 640), mod=64, scale_up=True):
     return (bw, bh), r, left, top, new_w, new_h
 
 
+def _geom_to_arrays(geom):
+    """[(r, left, top, new_w, new_h)] -> (trans [B,2,3], region [B,4])."""
+    b = len(geom)
+    trans = np.zeros((b, 2, 3), np.float32)
+    region = np.zeros((b, 4), np.float32)
+    for i, (r, left, top, new_w, new_h) in enumerate(geom):
+        trans[i] = _letterbox_trans(r, left, top)
+        region[i] = [left, top, left + new_w, top + new_h]
+    return trans, region
+
+
+def _letterbox_input(canvases, trans, region, th, tw, lb_dtype):
+    """Device letterbox: separable resample from the uint8 canvas, 114 pad
+    via the static region mask, BGR->RGB, /255 -- the network-ready input."""
+    crops = affine_crop_separable(canvases, trans, (th, tw), out_dtype=lb_dtype)
+    xs = jnp.arange(tw, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(th, dtype=jnp.float32)[None, :, None]
+    lx, ty_, rx, by = (region[:, i, None, None] for i in range(4))
+    inside = (xs >= lx) & (xs < rx) & (ys >= ty_) & (ys < by)
+    crops = jnp.where(inside[..., None], crops, jnp.asarray(114.0, lb_dtype))
+    return crops[..., ::-1] / 255.0  # canvas is BGR like cv.imread; net eats RGB
+
+
 def slice_person_head(variables, num_cls=80, anchor_per_grid=3, slice_idx=0):
     """Slice the 80-class head convs to person-only [x,y,w,h,obj,cls_i]
     (weight-conversion-time replacement for MConv2D surgery)."""
@@ -129,13 +152,16 @@ class YOLOv5Detector:
                  iou_thresh: float = 0.6, conf_thresh: float = 0.001,
                  slice_idx: int = 0, canvas: int = 1280,
                  model_family: str = "yolov5", amp="auto", mesh=None,
-                 rect: bool = False, quant=None):
+                 rect: bool = False, quant=None, quant_scales=None):
         self.mesh = mesh  # optional Mesh: batch axis sharded over 'data'
         from simple_pose_tpu.models.quant import QUANT_MODES, quantized
 
         if quant not in QUANT_MODES:
             raise ValueError(f"quant={quant!r}; expected one of {QUANT_MODES}")
         self.quant = quant
+        # calibrated {conv-path: s_x} statics (models/quant.py); None keeps
+        # the dynamic per-batch activation scales
+        self.quant_scales = quant_scales
         # rect=True: minimum-rectangle letterboxing via static mod-64 shape
         # buckets (rect_letterbox_params) -- the reference's
         # minimum_rectangle mode made jittable
@@ -184,18 +210,15 @@ class YOLOv5Detector:
         # accumulate, narrowed write): kills the stem's convert_element_type
         # pass flagged in the fused-step trace (docs/PERF.md)
         lb_dtype = dtype or jnp.float32
+        self._lb_dtype = lb_dtype
 
         def make_forward(th, tw):
             def forward(variables, canvases, trans, region):
-                crops = affine_crop_separable(canvases, trans, (th, tw), out_dtype=lb_dtype)
-                xs = jnp.arange(tw, dtype=jnp.float32)[None, None, :]
-                ys = jnp.arange(th, dtype=jnp.float32)[None, :, None]
-                lx, ty_, rx, by = (region[:, i, None, None] for i in range(4))
-                inside = (xs >= lx) & (xs < rx) & (ys >= ty_) & (ys < by)
-                crops = jnp.where(inside[..., None], crops, jnp.asarray(114.0, lb_dtype))
-                x = crops[..., ::-1] / 255.0  # canvas is BGR like cv.imread; net eats RGB
-                # quant='w8a8': int8-MXU conv forward (models/quant.py)
-                with quantized(quant):
+                x = _letterbox_input(canvases, trans, region, th, tw, lb_dtype)
+                # quant='w8a8': int8-MXU conv forward (models/quant.py);
+                # self.quant_scales is read at trace time, so calibrate()'s
+                # cache reset bakes the statics into the rebuilt programs
+                with quantized(quant, self.quant_scales):
                     return self.model.apply(variables, x)
 
             return jax.jit(forward)
@@ -215,17 +238,48 @@ class YOLOv5Detector:
             self._forwards[(th, tw)] = self._make_forward(th, tw)
         return self._forwards[(th, tw)]
 
+    def calibrate(self, batches, num_batches: int = 2) -> dict:
+        """Record static w8a8 activation scales on detection batches, then
+        rebuild the jitted forwards with them as compile-time constants (the
+        deployed detector loses every dynamic per-batch max-reduce).
+
+        ``batches`` yields ``(canvases_u8 [B,c,c,3] BGR, shapes [(h,w)])``
+        pairs -- the same prep as :meth:`predict_batch`.  The float forward
+        runs un-jitted at the default square letterbox; scales are per
+        conv path, so rect buckets reuse them.  Multi-host: max-reduced
+        across processes.  Returns the {conv-path: s_x} dict (persist via
+        ``models.quant.save_scales``)."""
+        from simple_pose_tpu.models.quant import ScaleRecorder, allreduce_scales_max
+
+        if self.quant is None:
+            raise ValueError("calibrate() requires a quant mode (quant='w8a8')")
+        tw, th = self.scale_size
+        rec = ScaleRecorder()
+        n = 0
+        for canvases_u8, shapes in batches:
+            if n >= num_batches:
+                break
+            geom = [letterbox_params(h, w, self.scale_size) for h, w in shapes]
+            trans, region = _geom_to_arrays(geom)
+            x = _letterbox_input(jnp.asarray(np.asarray(canvases_u8)),
+                                 jnp.asarray(trans), jnp.asarray(region),
+                                 th, tw, self._lb_dtype)
+            with rec:
+                self.model.apply(self.variables, x)
+            n += 1
+        if n == 0:
+            raise ValueError("calibrate() got an empty batch stream")
+        self.quant_scales = allreduce_scales_max(rec.scales())
+        self._forwards = {}
+        self._forward = self._forward_for(th, tw)
+        return self.quant_scales
+
     def _run_group(self, canvases_u8, geom, th, tw, merge, max_det, use_mesh):
         """Forward + NMS + box unmapping for one static letterbox shape.
 
         geom: [(r, left, top, new_w, new_h)] per image.
         :returns: list of [n, 6] arrays in original pixel coords"""
-        b = canvases_u8.shape[0]
-        trans = np.zeros((b, 2, 3), np.float32)
-        region = np.zeros((b, 4), np.float32)
-        for i, (r, left, top, new_w, new_h) in enumerate(geom):
-            trans[i] = _letterbox_trans(r, left, top)
-            region[i] = [left, top, left + new_w, top + new_h]
+        trans, region = _geom_to_arrays(geom)
         batch_args = (np.asarray(canvases_u8), trans, region)
         if use_mesh:
             from simple_pose_tpu.parallel.mesh import batch_sharding

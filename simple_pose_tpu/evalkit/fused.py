@@ -37,7 +37,7 @@ class FusedDetectPose:
                  det_size=(640, 640), input_shape=(192, 256), max_people: int = 16,
                  det_conf: float = 0.25, det_iou: float = 0.5, decoder: str = "gauss_taylor",
                  canvas: int = 1280, detector_family: str = "yolov5", amp="auto",
-                 mesh=None, rect: bool = False, quant=None):
+                 mesh=None, rect: bool = False, quant=None, quant_scales=None):
         """mesh: optional jax.sharding.Mesh -- shards the image batch over the
         'data' axis so the fused program uses every chip of a slice (image
         batch must divide by the data-axis size; weights are replicated).
@@ -49,12 +49,18 @@ class FusedDetectPose:
         cached).
 
         quant: 'w8a8' runs every conv of BOTH nets on the int8 MXU path
-        (models/quant.py)."""
+        (models/quant.py).
+
+        quant_scales: calibrated statics as {"detector": {...}, "pose":
+        {...}} (each a {conv-path: s_x} dict, one per net so module paths
+        cannot collide); None keeps dynamic per-batch activation scales.
+        Produce with :meth:`calibrate`."""
         from simple_pose_tpu.models.quant import QUANT_MODES, quantized
 
         if quant not in QUANT_MODES:
             raise ValueError(f"quant={quant!r}; expected one of {QUANT_MODES}")
         self.quant = quant
+        self.quant_scales = quant_scales
         self.canvas = canvas
         self.det_size = det_size
         self.max_people = max_people
@@ -74,7 +80,10 @@ class FusedDetectPose:
         # narrowed write) -- removes the stem convert pass (docs/PERF.md)
         lb_dtype = amp_dtype or jnp.float32
 
-        def make_program(th, tw):
+        def make_body(th, tw, det_ctx, pose_ctx):
+          """Fused program body with injectable per-net contexts: the jitted
+          programs pass quantized(...) factories; calibrate() passes
+          ScaleRecorders and runs the body eagerly."""
           def program(det_vars, pose_vars, canvases, lb_trans, lb_region, lb_inv_scale, lb_offset):
               # ---- detect (device letterbox + YOLOv5 + NMS)
               lb = affine_crop_separable(canvases, lb_trans, (th, tw), out_dtype=lb_dtype)
@@ -85,7 +94,7 @@ class FusedDetectPose:
                   & (ys >= lb_region[:, 1, None, None]) & (ys < lb_region[:, 3, None, None])
               )
               lb = jnp.where(inside[..., None], lb, jnp.asarray(114.0, lb_dtype))
-              with quantized(quant):
+              with det_ctx():
                   pred = self.detector.model.apply(det_vars, lb[..., ::-1] / 255.0)
               dets, valid = non_max_suppression_jit(
                   pred, conf_thresh=det_conf, iou_thresh=det_iou,
@@ -107,7 +116,7 @@ class FusedDetectPose:
               # canvases are BGR (cv.imread); the pose net eats RGB, mean-subtracted
               x = (crops.reshape((b * max_people,) + crop_shape + (3,))[..., ::-1] / 255.0
                    - jnp.asarray(RGB_MEAN, lb_dtype))
-              with quantized(quant):
+              with pose_ctx():
                   heat = self.pose_model.apply(pose_vars, x).transpose(0, 3, 1, 2).astype(jnp.float32)
               kps, conf = decode(heat, trans_inv.reshape(b * max_people, 2, 3))
               scores = instance_scores(conf)
@@ -117,10 +126,17 @@ class FusedDetectPose:
                   "kps": pp(kps), "kp_conf": pp(conf), "pose_scores": pp(scores),
               }
 
-          return jax.jit(program)
+          return program
+
+        def make_program(th, tw):
+            qs = self.quant_scales or {}
+            det_ctx = lambda: quantized(quant, qs.get("detector"))
+            pose_ctx = lambda: quantized(quant, qs.get("pose"))
+            return jax.jit(make_body(th, tw, det_ctx, pose_ctx))
 
         self._programs = {}
         self._make_program = make_program
+        self._make_body = make_body
         tw, th = det_size
         self._program = self._program_for(th, tw)
         if mesh is not None:
@@ -133,6 +149,43 @@ class FusedDetectPose:
         if (th, tw) not in self._programs:
             self._programs[(th, tw)] = self._make_program(th, tw)
         return self._programs[(th, tw)]
+
+    def calibrate(self, batches, num_batches: int = 2) -> dict:
+        """Record static w8a8 activation scales for BOTH nets on image
+        batches, then rebuild the fused programs with them as compile-time
+        constants (no dynamic max-reduce anywhere in the deployed program).
+
+        ``batches`` yields ``(canvases_u8 [B,canvas,canvas,3] BGR,
+        shapes [(h,w)])`` pairs -- the same contract as :meth:`__call__`.
+        The fused body runs EAGERLY with float forwards and a ScaleRecorder
+        around each net, so the pose-net scales are recorded on the actual
+        detector-driven crops.  Multi-host: max-reduced across processes.
+        Returns {"detector": {...}, "pose": {...}} (persist via
+        ``models.quant.save_scales`` per net)."""
+        from simple_pose_tpu.models.quant import ScaleRecorder, allreduce_scales_max
+
+        if self.quant is None:
+            raise ValueError("calibrate() requires a quant mode (quant='w8a8')")
+        rec_det, rec_pose = ScaleRecorder(), ScaleRecorder()
+        tw, th = self.det_size
+        body = self._make_body(th, tw, lambda: rec_det, lambda: rec_pose)
+        n = 0
+        for canvases_u8, shapes in batches:
+            if n >= num_batches:
+                break
+            lb_trans, lb_region, lb_inv_scale, lb_offset = self.host_prep(shapes)
+            body(self.detector.variables, self.pose_vars,
+                 jnp.asarray(np.asarray(canvases_u8)), jnp.asarray(lb_trans),
+                 jnp.asarray(lb_region), jnp.asarray(lb_inv_scale),
+                 jnp.asarray(lb_offset))
+            n += 1
+        if n == 0:
+            raise ValueError("calibrate() got an empty batch stream")
+        self.quant_scales = {"detector": allreduce_scales_max(rec_det.scales()),
+                             "pose": allreduce_scales_max(rec_pose.scales())}
+        self._programs = {}
+        self._program = self._program_for(th, tw)
+        return self.quant_scales
 
     def host_prep(self, shapes, run_size=None):
         """Per-image letterbox geometry (host side): returns

@@ -241,7 +241,7 @@ class PoseEvaluator:
         feed ``eval.py export --scales`` for a fully static serving
         artifact).  Multi-host: scales are max-reduced across processes so
         every host traces the identical SPMD program."""
-        from simple_pose_tpu.models.quant import calibrate_w8a8
+        from simple_pose_tpu.models.quant import allreduce_scales_max, calibrate_w8a8
 
         if self.quant is None:
             raise ValueError("calibrate() requires a quant mode (quant='w8a8')")
@@ -258,16 +258,8 @@ class PoseEvaluator:
                 inputs.append(x[:, :, ::-1, :])
         if not inputs:
             raise ValueError("calibrate() got an empty batch stream")
-        scales = calibrate_w8a8(
-            lambda x: self.model.apply(self.variables, x), inputs)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils as mhu
-
-            keys = sorted(scales)
-            gathered = np.asarray(mhu.process_allgather(
-                np.array([scales[k] for k in keys], np.float32)))
-            scales = {k: float(v)
-                      for k, v in zip(keys, gathered.reshape(-1, len(keys)).max(0))}
+        scales = allreduce_scales_max(calibrate_w8a8(
+            lambda x: self.model.apply(self.variables, x), inputs))
         self.quant_scales = scales
         self._step = self._build_step(scales)
         return scales
@@ -455,13 +447,20 @@ def rescore_and_filter(predictions, gt_ann_path, in_vis_thre=0.2, oks_thre=0.9,
 def gen_detections(img_root, ann_path, detector=None, out_path="person_detections.json",
                    batch_size=8, conf_thresh=0.25, iou_thresh=0.5, canvas=1280,
                    weights_path=None, scale_name="l", debug=0,
-                   detector_family="yolov5", amp="auto", mesh=None):
+                   detector_family="yolov5", amp="auto", mesh=None,
+                   quant_calib=0, quant_scales_out=None):
     """Run the person detector over the val images and dump a COCO-format
     detection json consumable by predicts_by_detections
     (gen_data_by_detector parity, eval.py:69-98; the output format is the
     standard COCO detection-results schema instead of the reference's ad-hoc
     one, so the two workflows chain directly).
+
+    quant_calib: with a quant='w8a8' detector, calibrate static activation
+    scales on the first N batches before detecting (YOLOv5Detector.
+    calibrate); quant_scales_out persists them as JSON.
     """
+    import itertools
+
     import cv2 as cv
 
     from simple_pose_tpu.detector.wrapper import YOLOv5Detector, paste_with_border
@@ -482,23 +481,39 @@ def gen_detections(img_root, ann_path, detector=None, out_path="person_detection
         images = json.load(rf)["images"]
     if debug:
         images = images[:debug]
+    def batches():
+        for start in range(0, len(images), batch_size):
+            chunk = images[start:start + batch_size]
+            canvases = np.zeros((len(chunk), canvas, canvas, 3), np.uint8)
+            shapes = []
+            for i, entry in enumerate(chunk):
+                file_name = entry.get("coco_url", entry.get("file_name", "")).split("/")[-1]
+                img = cv.imread(os.path.join(img_root, file_name))
+                h, w = img.shape[:2]
+                # same prep as single_predict (incl. the 1px replicate border
+                # so letterbox edge taps clamp like cv2.resize)
+                paste_with_border(canvases[i], img)
+                shapes.append((h, w))
+            if len(chunk) < batch_size:  # keep jit shapes fixed
+                pad = batch_size - len(chunk)
+                canvases = np.concatenate(
+                    [canvases, np.zeros((pad, canvas, canvas, 3), np.uint8)])
+                shapes += [(canvas, canvas)] * pad
+            yield chunk, canvases, shapes
+
+    stream = batches()
+    if quant_calib and detector.quant:
+        # static-scale calibration on the leading batches, then replay them
+        # through the rebuilt (fully static) detector programs
+        head = list(itertools.islice(stream, quant_calib))
+        detector.calibrate(((c, s) for _, c, s in head), quant_calib)
+        if quant_scales_out:
+            from simple_pose_tpu.models.quant import save_scales
+
+            save_scales(detector.quant_scales, quant_scales_out)
+        stream = itertools.chain(head, stream)
     results = []
-    for start in range(0, len(images), batch_size):
-        chunk = images[start:start + batch_size]
-        canvases = np.zeros((len(chunk), canvas, canvas, 3), np.uint8)
-        shapes = []
-        for i, entry in enumerate(chunk):
-            file_name = entry.get("coco_url", entry.get("file_name", "")).split("/")[-1]
-            img = cv.imread(os.path.join(img_root, file_name))
-            h, w = img.shape[:2]
-            # same prep as single_predict (incl. the 1px replicate border so
-            # letterbox edge taps clamp like cv2.resize)
-            paste_with_border(canvases[i], img)
-            shapes.append((h, w))
-        if len(chunk) < batch_size:  # keep jit shapes fixed
-            pad = batch_size - len(chunk)
-            canvases = np.concatenate([canvases, np.zeros((pad, canvas, canvas, 3), np.uint8)])
-            shapes += [(canvas, canvas)] * pad
+    for chunk, canvases, shapes in stream:
         boxes_list = detector.predict_batch(canvases, shapes)
         for entry, boxes in zip(chunk, boxes_list):
             for x1, y1, x2, y2, score, _cls in boxes:

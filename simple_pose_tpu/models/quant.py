@@ -33,7 +33,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["quantized", "calibrate_w8a8", "save_scales", "load_scales",
+__all__ = ["quantized", "calibrate_w8a8", "ScaleRecorder",
+           "allreduce_scales_max", "save_scales", "load_scales",
            "QUANT_MODES"]
 
 QUANT_MODES = (None, "w8a8")
@@ -105,6 +106,42 @@ def quantized(mode, act_scales=None):
     raise ValueError(f"unknown quant mode {mode!r}; expected one of {QUANT_MODES}")
 
 
+class ScaleRecorder:
+    """Reusable activation-max recorder for w8a8 calibration.
+
+    Use as a context manager around UN-jitted float forwards (the recorder
+    reads concrete values); each entered scope records max|activation| per
+    conv module path into the same instance, so one recorder can span
+    several model applies (e.g. the flipped forward, or every batch of a
+    calibration sweep).  ``scales()`` converts the maxes to the {path: s_x}
+    dict ``quantized('w8a8', act_scales=...)`` consumes.
+    """
+
+    def __init__(self):
+        self.maxes: dict = {}
+
+    def _recorder(self, next_fun, args, kwargs, context):
+        if _is_quantizable_conv(context):
+            key = "/".join(context.module.path)
+            amax = float(jnp.max(jnp.abs(args[0])))
+            self.maxes[key] = max(self.maxes.get(key, 0.0), amax)
+        return next_fun(*args, **kwargs)
+
+    def __enter__(self):
+        self._ctx = nn.intercept_methods(self._recorder)
+        self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        return self._ctx.__exit__(*exc)
+
+    def scales(self) -> dict:
+        if not self.maxes:
+            raise ValueError("ScaleRecorder saw no conv activations; was the "
+                             "forward run inside the recorder context?")
+        return {k: max(v / 127.0, 1e-8) for k, v in self.maxes.items()}
+
+
 def calibrate_w8a8(apply_fn, inputs):
     """Record per-conv activation scales over calibration inputs.
 
@@ -113,19 +150,28 @@ def calibrate_w8a8(apply_fn, inputs):
     max|activation| per conv module path.  Returns {path: s_x} for
     ``quantized('w8a8', act_scales=...)``.
     """
-    maxes: dict = {}
-
-    def recorder(next_fun, args, kwargs, context):
-        if _is_quantizable_conv(context):
-            key = "/".join(context.module.path)
-            amax = float(jnp.max(jnp.abs(args[0])))
-            maxes[key] = max(maxes.get(key, 0.0), amax)
-        return next_fun(*args, **kwargs)
-
-    with nn.intercept_methods(recorder):
+    rec = ScaleRecorder()
+    with rec:
         for x in inputs:
             apply_fn(x)
-    return {k: max(v / 127.0, 1e-8) for k, v in maxes.items()}
+    return rec.scales()
+
+
+def allreduce_scales_max(scales: dict) -> dict:
+    """Max-reduce calibrated scales across processes so every host of a
+    multi-host run traces the identical SPMD program.  No-op single-host."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return scales
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+
+    keys = sorted(scales)
+    gathered = np.asarray(mhu.process_allgather(
+        np.array([scales[k] for k in keys], np.float32)))
+    return {k: float(v)
+            for k, v in zip(keys, gathered.reshape(-1, len(keys)).max(0))}
 
 
 def save_scales(scales: dict, path: str) -> None:

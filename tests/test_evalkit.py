@@ -299,3 +299,28 @@ def test_export_cli_roundtrip(tmp_path, monkeypatch):
                np.tile(np.array([[6.0, 0, 0], [0, 6.0, 0]], np.float32), (2, 1, 1)))
     assert res["kps"].shape == (2, 17, 2)
     assert np.isfinite(np.asarray(res["kps"])).all()
+
+
+def test_gen_detections_quant_calib(synth, tmp_path):
+    """gen_detections with a w8a8 detector + quant_calib: calibrates static
+    detector scales on the leading batch (replayed through the rebuilt
+    programs), persists them, and still writes a usable detection json."""
+    from simple_pose_tpu.detector.wrapper import YOLOv5Detector
+    from simple_pose_tpu.evalkit.workflows import gen_detections
+    from simple_pose_tpu.models.quant import load_scales
+
+    img_root, ann_path, _ = synth
+    det = YOLOv5Detector(weights_path=None, scale_name="s", scale_size=(128, 128),
+                         conf_thresh=0.01, canvas=192, quant="w8a8")
+    scales_path = str(tmp_path / "det_scales.json")
+    out_path = str(tmp_path / "dets.json")
+    results = gen_detections(img_root, ann_path, detector=det, out_path=out_path,
+                             batch_size=4, canvas=192,
+                             quant_calib=1, quant_scales_out=scales_path)
+    assert det.quant_scales is not None
+    scales = load_scales(scales_path)
+    assert len(scales) > 20 and all(v > 0 for v in scales.values())
+    dumped = json.load(open(out_path))
+    assert dumped == results
+    for r in results:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}

@@ -286,3 +286,65 @@ def test_calibrate_requires_quant_mode():
     ev_q = PoseEvaluator(cfg, None, input_shape=(64, 64), amp=None, quant="w8a8")
     with pytest.raises(ValueError, match="empty"):
         ev_q.calibrate(iter([]), 1)
+
+
+def test_detector_calibrate_static_scales(tmp_path):
+    """YOLOv5Detector.calibrate records per-conv static scales on detection
+    batches and rebuilds fully static forwards; a fresh detector constructed
+    with the persisted scales reproduces the calibrated boxes exactly."""
+    from simple_pose_tpu.detector.wrapper import YOLOv5Detector
+    from simple_pose_tpu.models.quant import load_scales, save_scales
+
+    rng = np.random.default_rng(11)
+    cfg = dict(weights_path=None, scale_name="s", scale_size=(256, 256),
+               conf_thresh=0.01, canvas=512, quant="w8a8")
+    det = YOLOv5Detector(**cfg)
+    with pytest.raises(ValueError, match="empty"):
+        det.calibrate(iter([]), 1)
+    canvases = rng.integers(0, 255, (2, 512, 512, 3), dtype=np.uint8)
+    shapes = [(300, 400), (512, 512)]
+    scales = det.calibrate(iter([(canvases, shapes)]), 1)
+    assert scales is det.quant_scales and len(scales) > 20
+    assert all(v > 0 for v in scales.values())
+    boxes = det.predict_batch(canvases, shapes)
+    assert all(np.isfinite(b).all() for b in boxes)
+
+    path = str(tmp_path / "det_scales.json")
+    save_scales(scales, path)
+    det_stat = YOLOv5Detector(**cfg, quant_scales=load_scales(path))
+    for b1, b2 in zip(boxes, det_stat.predict_batch(canvases, shapes)):
+        np.testing.assert_allclose(b1, b2, atol=1e-4)
+
+    det_float = YOLOv5Detector(weights_path=None, scale_name="s",
+                               scale_size=(256, 256), conf_thresh=0.01, canvas=512)
+    with pytest.raises(ValueError, match="quant"):
+        det_float.calibrate(iter([(canvases, shapes)]), 1)
+
+
+def test_fused_calibrate_static_scales():
+    """FusedDetectPose.calibrate runs the fused body eagerly, recording
+    per-net scale dicts (so module paths can't collide), and the rebuilt
+    static program matches a constructor built from the same scales."""
+    from simple_pose_tpu.evalkit.fused import FusedDetectPose
+
+    cfg = dict(
+        pose_model_cfg={"type": "pose_resnet_dconv", "name": "resnet18",
+                        "num_joints": 17},
+        detector_weights=None, scale_name="s", det_size=(256, 256),
+        input_shape=(64, 64), max_people=4, det_conf=0.001, canvas=256,
+        quant="w8a8",
+    )
+    fused = FusedDetectPose(**cfg)
+    canvases = np.random.default_rng(13).integers(
+        0, 255, size=(1, 256, 256, 3), dtype=np.uint8)
+    shapes = [(200, 256)]
+    scales = fused.calibrate(iter([(canvases, shapes)]), 1)
+    assert set(scales) == {"detector", "pose"}
+    assert len(scales["detector"]) > 20 and len(scales["pose"]) > 15
+    out = fused(canvases, shapes)
+    assert np.isfinite(out["kps"]).all()
+
+    fused_stat = FusedDetectPose(**cfg, quant_scales=scales)
+    out2 = fused_stat(canvases, shapes)
+    np.testing.assert_allclose(out2["kps"], out["kps"], atol=1e-4)
+    np.testing.assert_allclose(out2["det_scores"], out["det_scores"], atol=1e-5)
