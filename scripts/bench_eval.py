@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--no-amp", action="store_true", help="force float32 compute")
     ap.add_argument("--quant", default=None, choices=["w8a8"],
                     help="int8 quantized conv forward (models/quant.py)")
+    ap.add_argument("--quant-calib", action="store_true",
+                    help="calibrate static activation scales on the bench "
+                         "batch first (measures the fully static deployed "
+                         "program, no dynamic max-reduces)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--mesh", action="store_true",
                     help="run the sharded evaluator over a Mesh of all devices "
@@ -64,6 +68,8 @@ def main():
         "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (b, 1, 1)),
         "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (b, 1, 1)),
     }
+    if args.quant_calib:
+        ev.calibrate(iter([batch]), 1)
     # stage once on device: measure the device program, not host->device
     # bandwidth (tunnel-limited in this dev environment)
     batch = jax.device_put(batch)
@@ -79,7 +85,8 @@ def main():
         "metric": f"eval_crops_per_sec_per_chip_{args.model_type}_{args.model_name}"
                   + ("_fliptest" if args.flip_test else "")
                   + ("_sharded" if args.mesh else "")
-                  + (f"_{args.quant}" if args.quant else ""),
+                  + (f"_{args.quant}" if args.quant else "")
+                  + ("_static" if args.quant_calib else ""),
         "value": round(per_chip, 1),
         "unit": "crops/s/chip",
     }))
