@@ -1,6 +1,7 @@
 """Eval workflows end-to-end on the synthetic mini-COCO set."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -324,3 +325,52 @@ def test_gen_detections_quant_calib(synth, tmp_path):
     assert dumped == results
     for r in results:
         assert set(r) == {"image_id", "category_id", "bbox", "score"}
+
+
+def test_serve_artifact_example(tmp_path, monkeypatch):
+    """examples/serve_artifact.py: export via the CLI, then the serving
+    example predicts from the artifact + sidecar alone (docs/SERVING.md
+    consumer path) and its keypoints match the live evaluator's."""
+    import subprocess
+    import sys
+
+    import eval as eval_cli
+
+    out = tmp_path / "pose.stablehlo"
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "export", "--model-name", "resnet18", "--reduction",
+        "--batch-size", "2", "--canvas", "96", "--input-w", "64",
+        "--input-h", "64", "--no-amp", "--out", str(out),
+    ])
+    eval_cli.main()
+
+    rng = np.random.default_rng(3)
+    img_path = str(tmp_path / "person.png")  # lossless: subprocess and in-process must see identical pixels
+    img = rng.integers(0, 255, (80, 90, 3), dtype=np.uint8)
+    cv.imwrite(img_path, img)
+    overlay = str(tmp_path / "overlay.jpg")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "serve_artifact.py"),
+         "--artifact", str(out), "--image", img_path,
+         "--box", "10,10,60,75", "--out", overlay],
+        capture_output=True, text=True, env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert r.returncode == 0, r.stderr
+    served = json.loads(r.stdout)
+    assert len(served["people"]) == 1
+    kp = np.array(served["people"][0]["keypoints"]).reshape(17, 3)
+    assert np.isfinite(kp).all() and os.path.exists(overlay)
+
+    # parity with the artifact called in-process on the same box geometry
+    # (same exported program -> only the example's 2-decimal rounding apart;
+    # random-weight heatmaps are near-flat, so a live-evaluator comparison
+    # would be chaotic under the baked-constant folding drift)
+    from examples.serve_artifact import boxes_to_batch, load_contract
+    from simple_pose_tpu.evalkit.export import serving_fn
+
+    contract = load_contract(str(out))
+    canvas, trans, trans_inv = boxes_to_batch(img[..., ::-1],
+                                              [(10, 10, 60, 75)], contract)
+    direct = serving_fn(str(out))(canvas, trans, trans_inv)
+    np.testing.assert_allclose(kp[:, :2], np.asarray(direct["kps"])[0], atol=0.01)
+    np.testing.assert_allclose(kp[:, 2:], np.asarray(direct["conf"])[0], atol=0.01)
