@@ -5,6 +5,7 @@
     python eval.py gen-dets    --img-root ... --ann ... --det-weights yolov5l.pth
     python eval.py rescore     --preds predicts_kps_temp.json --ann ...
     python eval.py e2e         --img-root ... --ann ... --det-weights ... --weights ...
+    python eval.py fused       --img-root ... --ann ... --det-weights ... --weights ...
     python eval.py export      --model-type ... --weights ... --out pose_eval.stablehlo
 
 ``export`` is an extra over the reference: it AOT-serializes the whole jitted
@@ -125,6 +126,20 @@ def main():
                         "baking them into the artifact")
     p.add_argument("--out", default="pose_eval.stablehlo")
 
+    p = sub.add_parser("fused", help="detect -> pose e2e as ONE fused device "
+                       "program per image batch (evalkit/fused.py)")
+    common(p)
+    p.add_argument("--det-weights", default=None)
+    p.add_argument("--scale-name", default="l")
+    p.add_argument("--detector-family", default="yolov5", choices=["yolov5", "yolov4"])
+    p.add_argument("--max-people", type=int, default=16)
+    p.add_argument("--canvas", type=int, default=1280)
+    p.add_argument("--rect", action="store_true",
+                   help="minimum-rectangle letterbox via static mod-64 buckets")
+    p.add_argument("--conf", type=float, default=0.25)
+    p.add_argument("--iou", type=float, default=0.5)
+    p.add_argument("--out", default="fused_kps_temp.json")
+
     p = sub.add_parser("rescore", help="OKS-NMS rescoring of raw predictions")
     p.add_argument("--preds", required=True)
     p.add_argument("--ann", required=True)
@@ -222,6 +237,30 @@ def main():
             json.dump(info, wf, indent=1)
         print(json.dumps(info))
         return
+    elif args.cmd == "fused":
+        from simple_pose_tpu.evalkit.fused import fused_eval
+
+        if args.flip_test:
+            ap.error("fused runs one forward per crop; flip-test needs the "
+                     "two-stage path (eval.py e2e --flip-test)")
+        if args.decoder == "dark_original":
+            ap.error("fused decodes in-program (basic/gauss_taylor); "
+                     "dark_original's host decode needs the two-stage path")
+        scales = None
+        if args.scales:  # fused scales are per-net: {"detector": ..., "pose": ...}
+            with open(args.scales) as rf:
+                scales = {net: {k: float(v) for k, v in d.items()}
+                          for net, d in json.load(rf).items()}
+        stats = fused_eval(
+            args.img_root, args.ann, _model_cfg(args), pose_weights=args.weights,
+            detector_weights=args.det_weights, scale_name=args.scale_name,
+            det_conf=args.conf, det_iou=args.iou, batch_size=args.batch_size,
+            max_people=args.max_people, canvas=args.canvas, decoder=args.decoder,
+            detector_family=args.detector_family,
+            amp=False if args.no_amp else "auto", mesh=_mesh(args),
+            rect=args.rect, quant=args.quant, quant_calib=args.quant_calib,
+            quant_scales=scales, quant_scales_out=args.save_scales,
+            debug=args.debug, out_path=args.out)
     elif args.cmd == "rescore":
         stats = evalkit.rescore_and_filter(args.preds, args.ann, args.in_vis_thre, args.oks_thre)
     elif args.cmd == "e2e":

@@ -96,8 +96,13 @@ def main():
                   amp=jax.default_backend() == "tpu")
         ap_f = predicts_by_gt(img_root, ann_path, model_cfg, **kw)["AP"]
         ap_q = predicts_by_gt(img_root, ann_path, model_cfg, quant="w8a8", **kw)["AP"]
+        # static calibrated scales (the deployed serving config): calibrate
+        # on the first batch, eval the fully static int8 program
+        ap_qs = predicts_by_gt(img_root, ann_path, model_cfg, quant="w8a8",
+                               quant_calib=1, **kw)["AP"]
         quant_eval = {"float_ap": round(float(ap_f), 4),
-                      "w8a8_ap": round(float(ap_q), 4)}
+                      "w8a8_ap": round(float(ap_q), 4),
+                      "w8a8_static_ap": round(float(ap_qs), 4)}
         print(json.dumps({"quant_eval": quant_eval}), flush=True)
     out = {
         "backend": jax.default_backend(),

@@ -5,6 +5,7 @@ from simple_pose_tpu.evalkit.export import (
     save_exported,
     serving_fn,
 )
+from simple_pose_tpu.evalkit.fused import FusedDetectPose, fused_eval
 from simple_pose_tpu.evalkit.workflows import (
     PoseEvaluator,
     predicts_by_gt,

@@ -12,6 +12,8 @@ padding + validity masks throughout (NMS validity x detector score).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Optional
 
 import jax
@@ -26,7 +28,7 @@ from simple_pose_tpu.ops.affine_jax import affine_crop_separable_multi, boxes_to
 from simple_pose_tpu.ops.decode import decode_gauss_taylor, decode_basic, instance_scores
 from simple_pose_tpu.ops.warp import affine_crop_separable
 
-__all__ = ["FusedDetectPose"]
+__all__ = ["FusedDetectPose", "fused_eval"]
 
 
 class FusedDetectPose:
@@ -242,3 +244,101 @@ class FusedDetectPose:
             batch_args = tuple(jnp.asarray(a) for a in batch_args)
         out = program(self.detector.variables, self.pose_vars, *batch_args)
         return {k: np.asarray(v) for k, v in out.items()}
+
+
+def fused_eval(img_root, ann_path, pose_model_cfg, pose_weights=None,
+               detector_weights=None, scale_name="l", det_conf=0.25,
+               det_iou=0.5, batch_size=8, input_shape=(192, 256),
+               max_people: int = 16, canvas: int = 1280, det_size=(640, 640),
+               decoder: str = "gauss_taylor", detector_family: str = "yolov5",
+               amp="auto", mesh=None, rect: bool = False, quant=None,
+               quant_calib: int = 0, quant_scales=None, quant_scales_out=None,
+               in_vis_thre: float = 0.2, oks_thre: float = 0.9, debug: int = 0,
+               out_path: str = "fused_kps_temp.json", fused=None):
+    """End-to-end AP eval with the SINGLE fused device program.
+
+    The two-stage workflow (``detect_then_pose`` / ``eval.py e2e``) chains
+    gen_detections -> predicts_by_detections like the reference's two
+    processes (eval.py:69-98 then 101-150); this one runs evalkit/fused.py's
+    one XLA program per image batch (letterbox -> detector -> NMS -> crops ->
+    pose -> decode on device), then the same host rescoring chain
+    (temp_read_in_and_filter parity, eval.py:153-197).  Per-instance area
+    and score follow the detector-box dataset convention (naive_data.py:
+    33-56: area = padded-scale product, score = detector box score).
+
+    quant_calib: with quant='w8a8', calibrate static per-net activation
+    scales on the first N batches (FusedDetectPose.calibrate); the
+    {"detector", "pose"} scales dict persists to ``quant_scales_out`` as
+    JSON and feeds back via ``quant_scales``.  Returns the stats dict.
+    """
+    import itertools
+
+    import cv2 as cv
+
+    from simple_pose_tpu.detector.wrapper import paste_with_border
+    from simple_pose_tpu.evalkit.workflows import rescore_and_filter
+    from simple_pose_tpu.ops.affine import box_to_center_scale
+
+    if fused is None:
+        fused = FusedDetectPose(
+            pose_model_cfg, pose_weights, detector_weights, scale_name=scale_name,
+            det_size=det_size, input_shape=input_shape, max_people=max_people,
+            det_conf=det_conf, det_iou=det_iou, decoder=decoder, canvas=canvas,
+            detector_family=detector_family, amp=amp, mesh=mesh, rect=rect,
+            quant=quant, quant_scales=quant_scales)
+    with open(ann_path) as rf:
+        images = json.load(rf)["images"]
+    if debug:
+        images = images[:debug]
+
+    def batches():
+        for start in range(0, len(images), batch_size):
+            chunk = images[start:start + batch_size]
+            canvases = np.zeros((len(chunk), canvas, canvas, 3), np.uint8)
+            shapes = []
+            for i, entry in enumerate(chunk):
+                file_name = entry.get("coco_url", entry.get("file_name", "")).split("/")[-1]
+                img = cv.imread(os.path.join(img_root, file_name))
+                h, w = img.shape[:2]
+                paste_with_border(canvases[i], img)
+                shapes.append((h, w))
+            if len(chunk) < batch_size:  # keep jit shapes fixed
+                pad = batch_size - len(chunk)
+                canvases = np.concatenate(
+                    [canvases, np.zeros((pad, canvas, canvas, 3), np.uint8)])
+                shapes += [(canvas, canvas)] * pad
+            yield chunk, canvases, shapes
+
+    stream = batches()
+    if quant_calib and fused.quant:
+        head = list(itertools.islice(stream, quant_calib))
+        fused.calibrate(((c, s) for _, c, s in head), quant_calib)
+        if quant_scales_out:
+            with open(quant_scales_out, "w") as wf:
+                json.dump({net: {k: float(v) for k, v in d.items()}
+                           for net, d in fused.quant_scales.items()}, wf, indent=1)
+        stream = itertools.chain(head, stream)
+
+    in_w, in_h = input_shape
+    predictions = []
+    for chunk, canvases, shapes in stream:
+        out = fused(canvases, shapes)
+        for i, entry in enumerate(chunk):
+            for p in range(max_people):
+                if out["det_valid"][i, p] < 0.5:
+                    continue
+                x1, y1, x2, y2 = out["boxes"][i, p]
+                _, scale = box_to_center_scale(
+                    float(x1), float(y1), float(x2 - x1), float(y2 - y1),
+                    in_w / in_h)
+                kc = np.concatenate(
+                    [out["kps"][i, p], out["kp_conf"][i, p]], axis=-1)
+                predictions.append({
+                    "kps": kc.reshape(-1).tolist(),
+                    "area": float(scale[0] * scale[1]),
+                    "score": float(out["det_scores"][i, p]),
+                    "img_id": int(entry["id"]),
+                })
+    with open(out_path, "w") as wf:
+        json.dump(predictions, wf)
+    return rescore_and_filter(out_path, ann_path, in_vis_thre, oks_thre)

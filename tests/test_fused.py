@@ -75,3 +75,39 @@ def test_fused_program_end_to_end():
         for p in range(4):
             if out["det_valid"][b, p]:
                 assert out["boxes"][b, p, 2] >= out["boxes"][b, p, 0]
+
+
+def test_fused_eval_workflow(tmp_path):
+    """fused_eval: dataset-level AP eval through the single fused program --
+    predictions follow the detector-box conventions (area = padded-scale
+    product, score = det box score) and chain into rescore_and_filter; the
+    quant_calib path writes the per-net scales json and reloads."""
+    import json
+
+    from simple_pose_tpu.evalkit.fused import fused_eval
+    from tests.util_synth import make_synth_coco
+
+    img_root, ann_path, _ = make_synth_coco(str(tmp_path), num_images=5)
+    kw = dict(
+        pose_model_cfg={"type": "pose_resnet_dconv", "name": "resnet18",
+                        "num_joints": 17},
+        detector_weights=None, scale_name="s", det_size=(128, 128),
+        input_shape=(64, 64), max_people=4, det_conf=0.001, canvas=192,
+        batch_size=2, out_path=str(tmp_path / "fused_kps.json"),
+    )
+    stats = fused_eval(img_root, ann_path, **kw)
+    assert "AP" in stats  # random weights -> AP ~ 0; the chain completes
+    preds = json.load(open(tmp_path / "fused_kps.json"))
+    assert preds, "near-prior det scores at conf 0.001 should yield boxes"
+    assert {"kps", "area", "score", "img_id"} <= set(preds[0])
+    assert len(preds[0]["kps"]) == 51 and preds[0]["area"] > 0
+
+    scales_path = str(tmp_path / "fused_scales.json")
+    stats_q = fused_eval(img_root, ann_path, quant="w8a8", quant_calib=1,
+                         quant_scales_out=scales_path, **kw)
+    assert "AP" in stats_q
+    scales = json.load(open(scales_path))
+    assert set(scales) == {"detector", "pose"}
+    stats_q2 = fused_eval(img_root, ann_path, quant="w8a8",
+                          quant_scales=scales, **kw)
+    assert stats_q2["AP"] == stats_q["AP"]
