@@ -349,7 +349,9 @@ def _bf_eval(gt_data, results, max_dets=20):
 
 
 def _random_case(seed):
-    """Random tiny dataset mixing normal/crowd/zero-kp gts and area ranges."""
+    """Random tiny dataset mixing normal/crowd/zero-kp gts and area ranges,
+    plus PARTIAL per-joint visibility (OKS sums only v>0 joints) and
+    occasional >maxDets detection floods (truncation order under ties)."""
     rng = np.random.default_rng(seed)
     images, annotations, results = [], [], []
     ann_id = 1
@@ -361,19 +363,30 @@ def _random_case(seed):
             kp = _kp(x0, y0, spread)
             crowd = int(rng.random() < 0.25)
             zero_kp = rng.random() < 0.2
-            area = float(rng.uniform(500, 12000))
+            if not zero_kp and rng.random() < 0.35:
+                # partial visibility: v=0 joints contribute nothing to OKS
+                # (pycocotools masks on vg>0); zero their coords like COCO GT
+                invis = rng.random(17) < rng.uniform(0.1, 0.9)
+                if invis.all():
+                    invis[int(rng.integers(0, 17))] = False
+                kp_gt = kp.copy()
+                kp_gt[invis] = 0.0
+            else:
+                kp_gt = kp * (0 if zero_kp else 1)
             annotations.append({
                 "id": ann_id, "image_id": img_id, "category_id": 1,
-                "keypoints": (kp * (0 if zero_kp else 1)).reshape(-1).tolist(),
-                "num_keypoints": 0 if zero_kp else 17,
-                "area": area, "bbox": [x0, y0, spread, spread], "iscrowd": crowd,
+                "keypoints": kp_gt.reshape(-1).tolist(),
+                "num_keypoints": int((kp_gt[:, 2] > 0).sum()),
+                "area": float(rng.uniform(500, 12000)),
+                "bbox": [x0, y0, spread, spread], "iscrowd": crowd,
             })
             ann_id += 1
             for _ in range(rng.integers(0, 3)):
                 noisy = kp.copy()
                 noisy[:, :2] += rng.normal(0, rng.uniform(0, 25), (17, 2))
                 results.append(_result(img_id, noisy, float(rng.uniform(0.05, 1.0))))
-        for _ in range(rng.integers(0, 2)):  # pure false positives
+        n_fp = int(rng.integers(22, 29)) if rng.random() < 0.1 else int(rng.integers(0, 2))
+        for _ in range(n_fp):  # pure false positives; the flood crosses maxDets=20
             results.append(_result(img_id, _kp(*rng.uniform(0, 500, 2)), float(rng.uniform(0.05, 1.0))))
     gt = {"images": images, "annotations": annotations,
           "categories": [{"id": 1, "name": "person"}]}
