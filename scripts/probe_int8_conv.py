@@ -83,6 +83,17 @@ def main():
         y = conv(x8, w8, jnp.int32)
         return (y.astype(jnp.float32) * (0.05 / 64.0)).astype(jnp.bfloat16)
 
+    def folded_layer(x8, w8, scale, bias):
+        # the folded-graph END STATE (int8 activations BETWEEN layers):
+        # int8 in -> int32 conv -> per-channel scale+bias (BN + dequant
+        # folded) -> relu -> requant to the next layer's static scale -> int8
+        # out.  Per-layer cost if quantization were graph-level instead of
+        # the per-conv interceptor; compare against w8a8_* to decide whether
+        # that larger rewrite buys anything (activations 1B vs 2B in HBM).
+        y = conv(x8, w8, jnp.int32)
+        z = jnp.maximum(y.astype(jnp.float32) * scale + bias, 0.0)
+        return jnp.clip(jnp.round(z * 8.0), -127, 127).astype(jnp.int8)
+
     shapes = [
         (128, 64, 48, 64),
         (128, 32, 24, 128),
@@ -116,6 +127,12 @@ def main():
             t_s = timed(w8a8_static_layer, xb, w8, args.iters)
             row.update({"w8a8_static_ms": t_s * 1e3,
                         "w8a8_static_speedup": t_bf / t_s})
+            scale = jax.device_put((rng.uniform(0.001, 0.02, (c,))).astype(np.float32))
+            bias = jax.device_put((rng.uniform(-0.5, 0.5, (c,))).astype(np.float32))
+            t_f = timed(lambda a, ww: folded_layer(a, ww, scale, bias), x8, w8,
+                        args.iters)
+            row.update({"folded_ms": t_f * 1e3,
+                        "folded_speedup": t_bf / t_f})
         except Exception as e:  # lowering unsupported -> record it
             row["int8_error"] = f"{type(e).__name__}: {str(e)[:300]}"
         rows.append(row)
