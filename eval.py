@@ -19,6 +19,15 @@ import json
 
 def _mesh(args):
     n = getattr(args, "mesh_devices", 0)
+    if getattr(args, "multihost", False):
+        # one process per host (reference evals on a single GPU; here every
+        # host feeds its image shard and allgathers the full result list --
+        # evalkit/fused.py + workflows._gather_results). The mesh must span
+        # ALL global devices so every process dispatches the same program.
+        from simple_pose_tpu.parallel.distributed import init_multihost
+
+        print(init_multihost())
+        n = n or -1
     if not n:
         return None
     from simple_pose_tpu.parallel.mesh import make_mesh
@@ -46,12 +55,18 @@ def main():
         p.add_argument("--debug", type=int, default=0)
         p.add_argument("--mesh-devices", type=int, default=0,
                        help="shard the eval batch over N devices (-1 = all; 0 = single-device)")
+        p.add_argument("--multihost", action="store_true",
+                       help="jax.distributed.initialize first (one process per "
+                            "host; images shard per process, results allgather)")
         if model:
             p.add_argument("--model-type", default="pose_resnet_dconv")
             p.add_argument("--model-name", default="resnet50")
             p.add_argument("--num-joints", type=int, default=17)
             p.add_argument("--reduction", action="store_true")
             p.add_argument("--weights", default=None)
+            p.add_argument("--input-w", type=int, default=192,
+                           help="pose crop width (192 or the 288x384 configs)")
+            p.add_argument("--input-h", type=int, default=256)
             p.add_argument("--decoder", default="gauss_taylor",
                            choices=["basic", "gauss_taylor", "dark_original"])
             p.add_argument("--flip-test", action="store_true")
@@ -134,6 +149,8 @@ def main():
     p.add_argument("--detector-family", default="yolov5", choices=["yolov5", "yolov4"])
     p.add_argument("--max-people", type=int, default=16)
     p.add_argument("--canvas", type=int, default=1280)
+    p.add_argument("--det-size", type=int, default=640,
+                   help="square detector letterbox size")
     p.add_argument("--rect", action="store_true",
                    help="minimum-rectangle letterbox via static mod-64 buckets")
     p.add_argument("--conf", type=float, default=0.25)
@@ -170,6 +187,7 @@ def main():
         stats = evalkit.predicts_by_gt(
             args.img_root, args.ann, _model_cfg(args), weights=args.weights,
             batch_size=args.batch_size, decoder=args.decoder,
+            input_shape=(args.input_w, args.input_h),
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
             **_quant_kwargs(args),
@@ -178,6 +196,7 @@ def main():
         stats = evalkit.predicts_by_detections(
             args.img_root, args.dets, args.ann, _model_cfg(args), weights=args.weights,
             batch_size=args.batch_size, decoder=args.decoder,
+            input_shape=(args.input_w, args.input_h),
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
             **_quant_kwargs(args),
@@ -255,6 +274,8 @@ def main():
             args.img_root, args.ann, _model_cfg(args), pose_weights=args.weights,
             detector_weights=args.det_weights, scale_name=args.scale_name,
             det_conf=args.conf, det_iou=args.iou, batch_size=args.batch_size,
+            input_shape=(args.input_w, args.input_h),
+            det_size=(args.det_size, args.det_size),
             max_people=args.max_people, canvas=args.canvas, decoder=args.decoder,
             detector_family=args.detector_family,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
@@ -269,7 +290,8 @@ def main():
         stats = detect_then_pose(
             args.img_root, args.ann, _model_cfg(args), pose_weights=args.weights,
             detector_weights=args.det_weights, scale_name=args.scale_name,
-            batch_size=args.batch_size, flip_test=args.flip_test, debug=args.debug,
+            batch_size=args.batch_size, input_shape=(args.input_w, args.input_h),
+            flip_test=args.flip_test, debug=args.debug,
             detector_family=args.detector_family,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
             **_quant_kwargs(args),

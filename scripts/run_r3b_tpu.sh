@@ -25,6 +25,16 @@ timeout 3000 python scripts/bench_eval.py --model-type pose_hrnet \
 timeout 3000 python scripts/bench_export.py --model-name resnet50 --reduction \
     > /tmp/r3b_export.log 2>&1
 
+# 4. fused detect->pose: mod-64 rect bucket vs square on a wide image
+#    (VERDICT #7 record), and the w8a8 fused program
+timeout 3000 python scripts/bench_fused.py --img-h 480 --iters 30 \
+    > /tmp/r3b_fused_sq.log 2>&1
+timeout 3000 python scripts/bench_fused.py --img-h 480 --rect --iters 30 \
+    > /tmp/r3b_fused_rect.log 2>&1
+timeout 3000 python scripts/bench_fused.py --quant w8a8 --iters 30 \
+    > /tmp/r3b_fused_q.log 2>&1
+
 tail -n 2 /tmp/r3b_probe_int8.log /tmp/r3b_eval_dconv_q.log \
     /tmp/r3b_eval_dconv_qs.log /tmp/r3b_eval_hrnet_q.log \
-    /tmp/r3b_eval_hrnet_qs.log /tmp/r3b_export.log
+    /tmp/r3b_eval_hrnet_qs.log /tmp/r3b_export.log /tmp/r3b_fused_sq.log \
+    /tmp/r3b_fused_rect.log /tmp/r3b_fused_q.log

@@ -222,28 +222,50 @@ class FusedDetectPose:
             bw, bh = max(bw, w_i), max(bh, h_i)
         return bh, bw
 
-    def __call__(self, canvases_u8, shapes):
+    def __call__(self, canvases_u8, shapes, img_ids=None):
         """:param canvases_u8: [B, canvas, canvas, 3] uint8 BGR at origin
         :param shapes: [(h, w)] true image sizes
+        :param img_ids: optional per-image host metadata ([B] ints) carried
+            through the gather — under multi-host the returned arrays are
+            GLOBAL (allgathered over processes, workflows._gather_results
+            discipline), so callers need the matching global ids
         :returns: dict of numpy arrays; entries masked by det_valid"""
         if self.rect:
             th, tw = self._pick_bucket(shapes)
+            if self.mesh is not None and jax.process_count() > 1:
+                # every host must trace/dispatch the SAME static program:
+                # max-reduce the mod-64 bucket across processes
+                from jax.experimental import multihost_utils as mhu
+
+                g = np.asarray(mhu.process_allgather(
+                    np.array([th, tw], np.int32))).reshape(-1, 2)
+                th, tw = int(g[:, 0].max()), int(g[:, 1].max())
             program = self._program_for(th, tw)
             lb_trans, lb_region, lb_inv_scale, lb_offset = self.host_prep(
                 shapes, run_size=(tw, th))
         else:
             program = self._program
             lb_trans, lb_region, lb_inv_scale, lb_offset = self.host_prep(shapes)
-        batch_args = (canvases_u8, lb_trans, lb_region, lb_inv_scale, lb_offset)
+        batch = {
+            "canvases": np.asarray(canvases_u8), "lb_trans": lb_trans,
+            "lb_region": lb_region, "lb_inv_scale": lb_inv_scale,
+            "lb_offset": lb_offset,
+        }
         if self.mesh is not None:
-            from simple_pose_tpu.parallel.mesh import batch_sharding
+            from simple_pose_tpu.parallel.mesh import shard_batch
 
-            batch_args = tuple(
-                jax.device_put(np.asarray(a), batch_sharding(self.mesh)) for a in batch_args)
+            batch = shard_batch(batch, self.mesh)
         else:
-            batch_args = tuple(jnp.asarray(a) for a in batch_args)
-        out = program(self.detector.variables, self.pose_vars, *batch_args)
-        return {k: np.asarray(v) for k, v in out.items()}
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        # unpack by key: pytree ops (device_put/shard_batch) rebuild dicts in
+        # SORTED key order, so *batch.values() would shuffle the args
+        out = program(self.detector.variables, self.pose_vars,
+                      batch["canvases"], batch["lb_trans"], batch["lb_region"],
+                      batch["lb_inv_scale"], batch["lb_offset"])
+        from simple_pose_tpu.evalkit.workflows import _gather_results
+
+        meta = {} if img_ids is None else {"img_ids": np.asarray(img_ids, np.int64)}
+        return _gather_results(out, meta, self.mesh)
 
 
 def fused_eval(img_root, ann_path, pose_model_cfg, pose_weights=None,
@@ -291,23 +313,39 @@ def fused_eval(img_root, ann_path, pose_model_cfg, pose_weights=None,
     if debug:
         images = images[:debug]
 
+    # multi-host: shard images per process with EQUALIZED per-host batch
+    # counts (None pads) so every host dispatches the same global program
+    # the same number of times; outputs allgather so each host builds the
+    # full prediction list (the standalone-workflow discipline,
+    # workflows._gather_results / _process_shard_kwargs)
+    import jax
+
+    nproc = jax.process_count() if fused.mesh is not None else 1
+    if nproc > 1:
+        per_host = -(-len(images) // nproc)
+        images = list(images[jax.process_index()::nproc])
+        images += [None] * (per_host - len(images))
+
     def batches():
         for start in range(0, len(images), batch_size):
             chunk = images[start:start + batch_size]
-            canvases = np.zeros((len(chunk), canvas, canvas, 3), np.uint8)
-            shapes = []
+            canvases = np.zeros((batch_size, canvas, canvas, 3), np.uint8)
+            shapes, ids = [], []
             for i, entry in enumerate(chunk):
+                if entry is None:  # equalization pad (multi-host)
+                    shapes.append((canvas, canvas))
+                    ids.append(-1)
+                    continue
                 file_name = entry.get("coco_url", entry.get("file_name", "")).split("/")[-1]
                 img = cv.imread(os.path.join(img_root, file_name))
                 h, w = img.shape[:2]
                 paste_with_border(canvases[i], img)
                 shapes.append((h, w))
-            if len(chunk) < batch_size:  # keep jit shapes fixed
-                pad = batch_size - len(chunk)
-                canvases = np.concatenate(
-                    [canvases, np.zeros((pad, canvas, canvas, 3), np.uint8)])
-                shapes += [(canvas, canvas)] * pad
-            yield chunk, canvases, shapes
+                ids.append(int(entry["id"]))
+            pad = batch_size - len(chunk)  # keep jit shapes fixed
+            shapes += [(canvas, canvas)] * pad
+            ids += [-1] * pad
+            yield ids, canvases, shapes
 
     stream = batches()
     if quant_calib and fused.quant:
@@ -321,9 +359,12 @@ def fused_eval(img_root, ann_path, pose_model_cfg, pose_weights=None,
 
     in_w, in_h = input_shape
     predictions = []
-    for chunk, canvases, shapes in stream:
-        out = fused(canvases, shapes)
-        for i, entry in enumerate(chunk):
+    for ids, canvases, shapes in stream:
+        out = fused(canvases, shapes, img_ids=ids)
+        gids = out["img_ids"]  # global under multi-host (allgathered)
+        for i in range(len(gids)):
+            if gids[i] < 0:  # batch/equalization pad
+                continue
             for p in range(max_people):
                 if out["det_valid"][i, p] < 0.5:
                     continue
@@ -337,7 +378,7 @@ def fused_eval(img_root, ann_path, pose_model_cfg, pose_weights=None,
                     "kps": kc.reshape(-1).tolist(),
                     "area": float(scale[0] * scale[1]),
                     "score": float(out["det_scores"][i, p]),
-                    "img_id": int(entry["id"]),
+                    "img_id": int(gids[i]),
                 })
     with open(out_path, "w") as wf:
         json.dump(predictions, wf)

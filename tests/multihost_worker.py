@@ -49,6 +49,26 @@ info = init_multihost(coordinator_address=f"localhost:{port}", num_processes=npr
 assert info["process_count"] == nproc, info
 assert info["global_devices"] == 4 * nproc, info
 
+if cfg_override.get("mode") == "fused":
+    # fused detect->pose dataset eval over the global mesh: process-sharded
+    # images with equalized per-host batch counts, output allgather -- every
+    # host must hold the identical full prediction list (evalkit/fused.py
+    # multi-host path; the reference has no multi-process eval at all)
+    from simple_pose_tpu.evalkit.fused import fused_eval  # noqa: E402
+    from simple_pose_tpu.parallel.mesh import make_mesh  # noqa: E402
+
+    mesh = make_mesh({"data": 4 * nproc})
+    stats = fused_eval(
+        img_root, ann_path,
+        {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        None, None, scale_name="s", det_size=(128, 128), input_shape=(64, 64),
+        batch_size=4, max_people=4, canvas=192, det_conf=1e-4, amp=None,
+        mesh=mesh, out_path=os.path.join(out_dir, f"fused_{pid}.json"))
+    with open(os.path.join(out_dir, f"worker_{pid}.json"), "w") as wf:
+        json.dump({"host_info": host_info(), "fused_ap": stats["AP"]}, wf)
+    print(f"worker {pid} done (fused)", flush=True)
+    sys.exit(0)
+
 from simple_pose_tpu.train.config import load_config  # noqa: E402
 from simple_pose_tpu.train.solver import PoseSolver  # noqa: E402
 

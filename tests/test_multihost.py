@@ -146,6 +146,71 @@ def test_two_process_multihost_matches_single_process(tmp_path):
             == sorted(r["image_id"] for r in wf_s))
 
 
+def test_two_process_multihost_fused_eval(tmp_path):
+    """fused detect->pose dataset eval over 2 processes: images shard per
+    host (equalized with None pads -- 10 images over 2 hosts x batch 4 means
+    host0 takes 5 and pads to 8), outputs allgather so both hosts write the
+    identical full prediction file, matching the single-process run."""
+    img_root, ann_path, _ = make_synth_coco(str(tmp_path / "coco"), num_images=10)
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    from simple_pose_tpu.evalkit.fused import fused_eval
+
+    stats_single = fused_eval(
+        img_root, ann_path,
+        {"type": "pose_resnet_dconv", "name": "resnet18", "num_joints": 17},
+        None, None, scale_name="s", det_size=(128, 128), input_shape=(64, 64),
+        batch_size=8, max_people=4, canvas=192, det_conf=1e-4, amp=None,
+        out_path=str(tmp_path / "fused_single.json"))
+
+    cfg_json = str(tmp_path / "cfg.json")
+    with open(cfg_json, "w") as wf:
+        json.dump({"mode": "fused"}, wf)
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), img_root,
+             ann_path, out_dir, cfg_json],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    try:
+        outputs = [p.communicate(timeout=1500)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, (
+            "worker failed:\n" + "\n=== next worker ===\n".join(
+                o[-3000:] for o in outputs))
+
+    results = []
+    for pid in range(2):
+        with open(os.path.join(out_dir, f"worker_{pid}.json")) as rf:
+            results.append(json.load(rf))
+    # both hosts hold the full gathered prediction list -> identical files
+    with open(os.path.join(out_dir, "fused_0.json")) as rf:
+        f0 = json.load(rf)
+    with open(os.path.join(out_dir, "fused_1.json")) as rf:
+        f1 = json.load(rf)
+    assert f0 == f1
+    # coverage matches the single-process run (every image's people found
+    # once) and AP tracks it (loose: NMS/argmax flips on random-weight noise)
+    with open(tmp_path / "fused_single.json") as rf:
+        fs = json.load(rf)
+    ids_mh = sorted(r["img_id"] for r in f0)
+    ids_s = sorted(r["img_id"] for r in fs)
+    assert ids_mh == ids_s
+    assert results[0]["fused_ap"] == pytest.approx(results[1]["fused_ap"], abs=1e-9)
+    assert results[0]["fused_ap"] == pytest.approx(stats_single["AP"], abs=0.05)
+
+
 def test_two_process_multihost_skewed_dedup(tmp_path):
     """Per-host batch equalization + dedup min-over-hosts on a SKEWED dataset.
 
