@@ -129,7 +129,10 @@ def main():
                    help="calibrated w8a8 scales json (eval.py gt --quant-calib "
                         "--save-scales): bakes a fully static int8 program, no "
                         "dynamic activation max-reduce in the artifact")
-    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--batch-size", default="64",
+                   help="static crop-batch size, or a symbolic-dim name "
+                        "(e.g. 'b') for a batch-polymorphic artifact that "
+                        "serves any batch size from one file")
     p.add_argument("--canvas", type=int, default=640)
     p.add_argument("--input-w", type=int, default=192)
     p.add_argument("--input-h", type=int, default=256)
@@ -235,8 +238,10 @@ def main():
             input_shape=(args.input_w, args.input_h), decoder=args.decoder,
             flip_test=args.flip_test, amp=False if args.no_amp else "auto",
             quant=args.quant, quant_scales=scales)
+        batch = int(args.batch_size) if str(args.batch_size).isdigit() \
+            else args.batch_size
         exported = export_evaluator(
-            evaluator, args.batch_size, (args.canvas, args.canvas),
+            evaluator, batch, (args.canvas, args.canvas),
             bake_weights=not args.external_weights,
             platforms=args.platforms.split(",") if args.platforms else None)
         n = save_exported(exported, args.out)

@@ -47,14 +47,21 @@ __all__ = [
 ]
 
 
-def export_evaluator(evaluator, batch_size: int, canvas_hw,
+def export_evaluator(evaluator, batch_size, canvas_hw,
                      *, bake_weights: bool = True,
                      platforms: Optional[Sequence[str]] = None):
     """Lower a PoseEvaluator's jitted step to a ``jax.export.Exported``.
 
     :param evaluator: a single-device PoseEvaluator (mesh=None); its decoder,
         flip-test, and amp choices are already baked into ``_step``.
-    :param batch_size: static crop-batch size of the exported program.
+    :param batch_size: static crop-batch size of the exported program, or a
+        symbolic-dimension name (any non-numeric string, e.g. ``"b"``) for a
+        batch-polymorphic artifact that serves every batch size from one
+        file.  The whole eval chain is batch-elementwise (einsum crop,
+        convs, per-sample decode), so polymorphism costs nothing at trace
+        time; the serving runtime still specializes/compiles per distinct
+        batch it sees, so servers with a fixed batch should prefer a static
+        export (no first-request compile beyond the one shape).
     :param canvas_hw: static (height, width) of the input canvases.
     :param bake_weights: embed ``evaluator.variables`` as constants (default)
         or keep them as the leading runtime argument.
@@ -67,6 +74,8 @@ def export_evaluator(evaluator, batch_size: int, canvas_hw,
             "serve a slice by replicating the artifact per chip")
     from jax import export as jax_export
 
+    if isinstance(batch_size, str):
+        (batch_size,) = jax_export.symbolic_shape(batch_size)
     h, w = canvas_hw
     canvas_sd = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8)
     trans_sd = jax.ShapeDtypeStruct((batch_size, 2, 3), jnp.float32)

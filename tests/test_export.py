@@ -91,6 +91,25 @@ def test_export_dark_original_returns_heatmaps(evaluator):
     np.testing.assert_allclose(conf, np.asarray(live["conf"]), atol=1e-3)
 
 
+def test_export_polymorphic_batch(evaluator):
+    """A symbolic-batch artifact serves several batch sizes from one file,
+    matching the per-size live evaluator (external weights: bit-exact)."""
+    exported = export_evaluator(evaluator, "b", (CANVAS, CANVAS),
+                                bake_weights=False)
+    call = serving_fn(exported.serialize())
+    for size, seed in ((1, 4), (BATCH, 5), (7, 6)):
+        full = _make_batch(np.random.default_rng(seed))
+        batch = {k: np.resize(v, (size,) + v.shape[1:]) for k, v in full.items()}
+        out = call(evaluator.variables, batch["canvas"], batch["trans"],
+                   batch["trans_inv"])
+        live = evaluator._step(evaluator.variables, batch)
+        assert out["kps"].shape == (size, 17, 2)
+        np.testing.assert_array_equal(np.asarray(out["kps"]),
+                                      np.asarray(live["kps"]))
+        np.testing.assert_array_equal(np.asarray(out["scores"]),
+                                      np.asarray(live["scores"]))
+
+
 def test_export_refuses_mesh_evaluator():
     from simple_pose_tpu.parallel.mesh import make_mesh
 
