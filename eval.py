@@ -238,8 +238,12 @@ def main():
             input_shape=(args.input_w, args.input_h), decoder=args.decoder,
             flip_test=args.flip_test, amp=False if args.no_amp else "auto",
             quant=args.quant, quant_scales=scales)
-        batch = int(args.batch_size) if str(args.batch_size).isdigit() \
-            else args.batch_size
+        try:
+            batch = int(args.batch_size)
+            if batch <= 0:
+                ap.error(f"--batch-size must be > 0, got {batch}")
+        except ValueError:  # non-numeric = symbolic-dim name ('b', '2*b', ...)
+            batch = args.batch_size
         exported = export_evaluator(
             evaluator, batch, (args.canvas, args.canvas),
             bake_weights=not args.external_weights,
@@ -248,7 +252,7 @@ def main():
         info = {
             "out": args.out, "bytes": n,
             "platforms": list(exported.platforms),
-            "batch": args.batch_size, "canvas": args.canvas,
+            "batch": batch, "canvas": args.canvas,
             "input_shape": [args.input_w, args.input_h],
             "model": _model_cfg(args), "decoder": args.decoder,
             "flip_test": args.flip_test, "quant": args.quant,

@@ -37,6 +37,8 @@ def boxes_to_batch(img_rgb, boxes, contract):
     from simple_pose_tpu.ops import affine as A
 
     b = contract["batch"]
+    if not isinstance(b, int):  # batch-polymorphic artifact: any size works
+        b = len(boxes)
     canvas_edge = contract["canvas"]
     in_w, in_h = contract["input_shape"]
     if len(boxes) > b:

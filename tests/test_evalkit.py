@@ -374,3 +374,59 @@ def test_serve_artifact_example(tmp_path, monkeypatch):
     direct = serving_fn(str(out))(canvas, trans, trans_inv)
     np.testing.assert_allclose(kp[:, :2], np.asarray(direct["kps"])[0], atol=0.01)
     np.testing.assert_allclose(kp[:, 2:], np.asarray(direct["conf"])[0], atol=0.01)
+
+
+def test_serve_artifact_symbolic_batch(tmp_path, monkeypatch):
+    """A batch-polymorphic artifact (--batch-size b) round-trips through the
+    CLI sidecar ('batch' stays the symbolic name, a str) and the serving
+    example sizes the batch from the request instead."""
+    import subprocess
+    import sys
+
+    import eval as eval_cli
+
+    out = tmp_path / "pose_poly.stablehlo"
+    monkeypatch.setattr(sys, "argv", [
+        "eval.py", "export", "--model-name", "resnet18", "--reduction",
+        "--batch-size", "b", "--canvas", "96", "--input-w", "64",
+        "--input-h", "64", "--no-amp", "--out", str(out),
+    ])
+    eval_cli.main()
+
+    contract = json.load(open(str(out) + ".json"))
+    assert contract["batch"] == "b"  # symbolic name survives as a string
+
+    rng = np.random.default_rng(7)
+    img_path = str(tmp_path / "person.png")
+    cv.imwrite(img_path, rng.integers(0, 255, (80, 90, 3), dtype=np.uint8))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "serve_artifact.py"),
+         "--artifact", str(out), "--image", img_path,
+         "--box", "10,10,60,75", "--box", "5,5,40,70", "--box", "20,8,85,78"],
+        capture_output=True, text=True, env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    assert r.returncode == 0, r.stderr
+    served = json.loads(r.stdout)
+    assert len(served["people"]) == 3
+    for person in served["people"]:
+        kp = np.array(person["keypoints"]).reshape(17, 3)
+        assert np.isfinite(kp).all()
+
+
+def test_export_cli_rejects_batch_zero(tmp_path, monkeypatch):
+    """--batch-size 0 (or negative) must error out, not export a degenerate
+    batch-0 program (isdigit() used to accept '0')."""
+    import sys
+
+    import eval as eval_cli
+
+    for bad in ("0", "-4"):
+        monkeypatch.setattr(sys, "argv", [
+            "eval.py", "export", "--model-name", "resnet18",
+            "--batch-size", bad, "--canvas", "96", "--input-w", "64",
+            "--input-h", "64", "--no-amp",
+            "--out", str(tmp_path / "x.stablehlo"),
+        ])
+        with pytest.raises(SystemExit):
+            eval_cli.main()
+        assert not os.path.exists(str(tmp_path / "x.stablehlo"))
