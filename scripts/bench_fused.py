@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--no-amp", action="store_true")
     ap.add_argument("--quant", default=None, choices=["w8a8"],
                     help="int8 quantized conv forward for both nets")
+    ap.add_argument("--quant-calib", action="store_true",
+                    help="calibrate static activation scales on the bench "
+                         "batch first (the deployed fused program: no "
+                         "dynamic max-reduces)")
     ap.add_argument("--rect", action="store_true",
                     help="minimum-rectangle bucket program (mod-64 static shapes)")
     ap.add_argument("--img-h", type=int, default=0,
@@ -61,6 +65,8 @@ def main():
     canvases = rng.integers(0, 255, (b, canvas, canvas, 3), dtype=np.uint8)
     img_h = args.img_h or canvas
     shapes = [(img_h, canvas)] * b
+    if args.quant_calib:
+        fused.calibrate(iter([(canvases, shapes)]), 1)
 
     # pre-stage the program inputs once (tunnel-limited H2D in this dev env)
     bucket = ""
@@ -88,7 +94,8 @@ def main():
     print(json.dumps({
         "metric": f"fused_detect_pose_{args.detector_family}_{scale}"
                   + ("_f32" if args.no_amp else "")
-                  + (f"_{args.quant}" if args.quant else "") + bucket,
+                  + (f"_{args.quant}" if args.quant else "")
+                  + ("_static" if args.quant_calib else "") + bucket,
         "images_per_sec": round(b / dt, 2),
         "pose_crops_per_sec": round(b * mp / dt, 1),
         "ms_per_batch": round(dt * 1000, 2),
