@@ -59,6 +59,14 @@ def main():
     canvases = rng.integers(0, 255, (b, canvas, canvas, 3), dtype=np.uint8)
     img_h = args.img_h or canvas
     shapes = [(img_h, canvas)] * b
+    # pre-stage on device: over the tunnel, per-iter H2D of the uint8
+    # canvases (157 MB at b=32) would measure the link, not the chip
+    if mesh is not None:
+        from simple_pose_tpu.parallel.mesh import batch_sharding
+
+        canvases = jax.device_put(canvases, batch_sharding(mesh))
+    else:
+        canvases = jax.device_put(canvases)
     if args.quant_calib:
         det.calibrate(iter([(canvases, shapes)]), 1)
 

@@ -280,7 +280,10 @@ class YOLOv5Detector:
         geom: [(r, left, top, new_w, new_h)] per image.
         :returns: list of [n, 6] arrays in original pixel coords"""
         trans, region = _geom_to_arrays(geom)
-        batch_args = (np.asarray(canvases_u8), trans, region)
+        # keep device-resident canvases resident (np.asarray would force D2H)
+        if not isinstance(canvases_u8, jax.Array):
+            canvases_u8 = np.asarray(canvases_u8)
+        batch_args = (canvases_u8, trans, region)
         if use_mesh:
             from simple_pose_tpu.parallel.mesh import batch_sharding
 
@@ -311,7 +314,8 @@ class YOLOv5Detector:
         :param shapes: [(h, w)] original sizes
         :returns: list of [n, 6] numpy arrays (x1, y1, x2, y2, conf, cls) in
             original pixel coords"""
-        canvases_u8 = np.asarray(canvases_u8)
+        if not isinstance(canvases_u8, jax.Array):
+            canvases_u8 = np.asarray(canvases_u8)
         if not self.rect:
             tw, th = self.scale_size
             geom = [letterbox_params(h, w, self.scale_size) for h, w in shapes]
@@ -329,7 +333,7 @@ class YOLOv5Detector:
         n_data = int(self.mesh.shape.get("data", 1)) if self.mesh is not None else 1
         for (bh, bw), idxs in buckets.items():
             group = self._run_group(
-                canvases_u8[idxs], [infos[i] for i in idxs], bh, bw, merge, max_det,
+                canvases_u8[np.asarray(idxs)], [infos[i] for i in idxs], bh, bw, merge, max_det,
                 use_mesh=self.mesh is not None and len(idxs) % n_data == 0)
             for i, d in zip(idxs, group):
                 out[i] = d

@@ -466,3 +466,23 @@ def test_fused_rect_bucket_square_matches_default():
     assert (256, 128) in fused_rect._programs or (128, 256) in fused_rect._programs
     assert out_w["kps"].shape == (2, 4, 17, 2)
     assert np.isfinite(out_w["kps"][out_w["det_valid"]]).all()
+
+
+def test_predict_batch_device_resident_input_matches_numpy():
+    # bench/gen-dets pre-stage canvases with device_put; the wrapper must
+    # keep them resident (and index them safely in rect mode) with results
+    # identical to host-numpy input
+    import jax
+
+    cfg = dict(weights_path=None, scale_name="s", scale_size=(128, 128),
+               conf_thresh=0.01, canvas=160)
+    rng = np.random.default_rng(7)
+    canvases = rng.integers(0, 255, size=(4, 160, 160, 3), dtype=np.uint8)
+    shapes = [(120, 160), (160, 160), (96, 160), (160, 160)]
+    for rect in (False, True):
+        det = YOLOv5Detector(**cfg, rect=rect)
+        host = det.predict_batch(canvases, shapes)
+        dev = det.predict_batch(jax.device_put(canvases), shapes)
+        assert len(host) == len(dev)
+        for h, d in zip(host, dev):
+            np.testing.assert_allclose(h, d, atol=1e-5)
