@@ -1,0 +1,135 @@
+"""Discriminative synthetic AP benchmark: train on one blob-marker corpus,
+evaluate on a HELD-OUT harder corpus where the float model lands strictly
+below AP 1.0 — so quant / export / sharding / decoder variants are tested
+against a target that can actually move (unlike the saturated overfit set,
+where a bug costing tenths of AP is invisible; the parity economics of
+pose_metrics.py:176 are tenths-of-AP).
+
+    python scripts/drive_discrim_ap.py                     # ambient backend
+    DISCRIM_MODEL=pose_hrnet:w32 DISCRIM_OUT=DISCRIM_HRNET.json ...
+    DISCRIM_EPOCHS=400 python scripts/drive_discrim_ap.py
+
+Writes DISCRIM_AP.json (or $DISCRIM_OUT) at the repo root:
+  * train_ap   — AP on the training corpus (memorization check, ~1.0)
+  * float_ap   — held-out AP, must land in (0.2, 0.98) to count as
+                 discriminative
+  * variants   — flip-test, w8a8 dynamic, w8a8 static-calib, sharded mesh,
+                 basic decoder: AP + delta vs float_ap
+Export variants are not re-measured: the exported artifact with external
+weights is bit-exact with the live evaluator by test (tests/test_export.py),
+so its AP delta is 0 by construction.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/simple_pose_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from simple_pose_tpu.train.config import load_config
+    from simple_pose_tpu.train.solver import PoseSolver
+    from tests.util_synth import make_discriminative_coco
+
+    epochs = int(os.environ.get("DISCRIM_EPOCHS", 600))
+    val_every = int(os.environ.get("DISCRIM_VAL_EVERY", 100))
+    mtype, mname = os.environ.get("DISCRIM_MODEL", "pose_resnet_dconv:resnet18").split(":")
+    tmp = tempfile.mkdtemp(prefix="discrim_")
+    # train: light occlusion so convergence is reachable; val: held-out seed,
+    # full hardness (smaller people, more occlusion)
+    tr_root, tr_ann, _ = make_discriminative_coco(
+        os.path.join(tmp, "train"), num_images=32, seed=100,
+        scale_range=(8.0, 24.0), occlude_frac=0.08)
+    va_root, va_ann, _ = make_discriminative_coco(
+        os.path.join(tmp, "val"), num_images=24, seed=777,
+        scale_range=(6.0, 26.0), occlude_frac=0.18)
+
+    amp = jax.default_backend() == "tpu"
+    cfg = load_config({
+        "model_name": "discrim_drive",
+        "data": {
+            "train_ann_path": tr_ann, "val_ann_path": va_ann,
+            "train_img_root": tr_root, "val_img_root": va_root,
+            "batch_size": 32, "num_workers": 2, "canvas": 224,
+            "input_shape": [64, 64],
+            "augment": True,  # generalization setup (vs the overfit drive)
+        },
+        "model": {"type": mtype, "name": mname, "num_joints": 17},
+        "optim": {"lr": 1e-3, "milestones": [max(2, epochs - 100)], "epochs": epochs,
+                  "gamma": 0.1, "amp": amp},
+        "val": {"interval": 1, "weight_path": os.path.join(tmp, "weights")},
+        "mesh": {"data": len(jax.devices())},
+        "seed": 11,
+    })
+    solver = PoseSolver(cfg)
+    solver.init_state()
+    t0 = time.perf_counter()
+    ap_by_epoch = {}
+    last_ep = 0
+    for ep in range(epochs):
+        solver.train_epoch(ep, log_every=10**9)
+        last_ep = ep
+        if (ep + 1) % val_every and ep != epochs - 1:
+            continue
+        stats = solver.validate(ep, results_path=os.path.join(tmp, "val.json"))
+        ap_by_epoch[ep + 1] = round(float(stats["AP"]), 4)
+        print(json.dumps({"epoch": ep, "val_AP": ap_by_epoch[ep + 1]}), flush=True)
+
+    from simple_pose_tpu.evalkit.workflows import predicts_by_gt
+
+    solver.save_checkpoint(last_ep, ap_by_epoch[max(ap_by_epoch)])
+    ckpt = os.path.join(tmp, "weights", f"{mtype}_last")  # _best needs a strictly-better AP than the in-loop validate already recorded
+    model_cfg = {"type": mtype, "name": mname, "num_joints": 17}
+    kw = dict(weights=ckpt, batch_size=32, input_shape=(64, 64), canvas=224,
+              out_path=os.path.join(tmp, "res.json"), amp=amp)
+
+    train_ap = predicts_by_gt(tr_root, tr_ann, model_cfg, **kw)["AP"]
+    float_ap = predicts_by_gt(va_root, va_ann, model_cfg, **kw)["AP"]
+    print(json.dumps({"train_ap": train_ap, "float_ap": float_ap}), flush=True)
+
+    variants = {}
+
+    def run(name, **extra):
+        ap = predicts_by_gt(va_root, va_ann, model_cfg, **{**kw, **extra})["AP"]
+        variants[name] = {"ap": round(float(ap), 4),
+                          "delta_vs_float": round(float(ap - float_ap), 4)}
+        print(json.dumps({name: variants[name]}), flush=True)
+
+    run("flip_test", flip_test=True)
+    run("w8a8_dynamic", quant="w8a8")
+    run("w8a8_static", quant="w8a8", quant_calib=1)
+    run("decoder_basic", decoder="basic")
+    run("decoder_dark_original", decoder="dark_original")
+    if len(jax.devices()) > 1:
+        from simple_pose_tpu.parallel.mesh import make_mesh
+
+        run("mesh_sharded", mesh=make_mesh({"data": len(jax.devices())}))
+
+    out = {
+        "backend": jax.default_backend(),
+        "model": f"{mtype}:{mname}",
+        "devices": len(jax.devices()),
+        "epochs_run": last_ep + 1,
+        "ap_by_epoch": ap_by_epoch,
+        "train_ap": round(float(train_ap), 4),
+        "float_ap": round(float(float_ap), 4),
+        "discriminative": bool(0.2 < float_ap < 0.98),
+        "variants": variants,
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           os.environ.get("DISCRIM_OUT", "DISCRIM_AP.json")), "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

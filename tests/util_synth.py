@@ -61,3 +61,78 @@ def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per
     with open(ann_path, "w") as wf:
         json.dump(gt, wf)
     return img_root, ann_path, gt
+
+
+def make_discriminative_coco(root, num_images=24, img_w=192, img_h=160, seed=100,
+                             people_per_image=2, scale_range=(6.0, 26.0),
+                             occlude_frac=0.15, blob_sigma=1.6):
+    """Harder synthetic corpus for a DISCRIMINATIVE AP benchmark: unlike the
+    painted-marker overfit set (AP saturates at 1.0), a trained model lands
+    strictly below 1.0 here, so tenths-of-AP parity drift (quant / export /
+    sharding / decode variants) becomes measurable.
+
+    Hardness levers vs make_synth_coco:
+      * sub-pixel joints: each joint is a colored Gaussian blob rendered at
+        its FLOAT position (no int snapping), so decoded coordinates carry
+        sub-pixel error that OKS scores continuously;
+      * instance scale sweep: per-person joint spread drawn from
+        scale_range (small people = few pixels per blob);
+      * occlusion: gray rectangles painted over ~occlude_frac of joints
+        AFTER rendering (GT stays vis=2, the visual evidence is gone);
+      * 2+ overlapping people per image (blob collisions/merges).
+
+    Returns (img_root, ann_path, gt).
+    """
+    import cv2 as cv
+
+    rng = np.random.default_rng(seed)
+    img_root = os.path.join(root, "imgs")
+    os.makedirs(img_root, exist_ok=True)
+    ys, xs = np.mgrid[0:img_h, 0:img_w].astype(np.float32)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, num_images + 1):
+        img = rng.integers(40, 120, size=(img_h, img_w, 3)).astype(np.float32)
+        file_name = f"{img_id:012d}.jpg"
+        images.append({"id": img_id, "width": img_w, "height": img_h,
+                       "coco_url": f"http://x/{file_name}", "file_name": file_name})
+        occluders = []
+        for _ in range(int(people_per_image)):
+            spread = rng.uniform(*scale_range)
+            cx = rng.uniform(2.2 * spread, img_w - 2.2 * spread)
+            cy = rng.uniform(2.2 * spread, img_h - 2.2 * spread)
+            kp = np.zeros((17, 3), dtype=np.float64)
+            kp[:, 0] = np.clip(rng.normal(cx, spread, 17), 2.0, img_w - 3.0)
+            kp[:, 1] = np.clip(rng.normal(cy, spread * 1.25, 17), 2.0, img_h - 3.0)
+            kp[:, 2] = 2
+            for j in range(17):
+                color = np.array([(j * 15) % 256, (255 - j * 13) % 256,
+                                  (j * 29 + 64) % 256], np.float32)
+                blob = np.exp(-((xs - kp[j, 0]) ** 2 + (ys - kp[j, 1]) ** 2)
+                              / (2.0 * blob_sigma ** 2))
+                img += blob[..., None] * (color - img) * 0.95
+            for j in range(17):
+                if rng.uniform() < occlude_frac:
+                    r = max(2.0, blob_sigma * 2.5)
+                    occluders.append((kp[j, 0], kp[j, 1], r))
+            x0, y0 = kp[:, 0].min() - 5, kp[:, 1].min() - 5
+            x1, y1 = kp[:, 0].max() + 5, kp[:, 1].max() + 5
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "keypoints": kp.reshape(-1).tolist(), "num_keypoints": 17,
+                "area": float((x1 - x0) * (y1 - y0)),
+                "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+                "iscrowd": 0,
+            })
+            ann_id += 1
+        for (ox, oy, r) in occluders:  # paint after ALL people (can also
+            img[int(max(0, oy - r)):int(oy + r) + 1,  # hide a neighbor's joint)
+                int(max(0, ox - r)):int(ox + r) + 1] = 96.0
+        cv.imwrite(os.path.join(img_root, file_name),
+                   np.clip(img, 0, 255).astype(np.uint8))
+    gt = {"images": images, "annotations": annotations,
+          "categories": [{"id": 1, "name": "person"}]}
+    ann_path = os.path.join(root, "ann.json")
+    with open(ann_path, "w") as wf:
+        json.dump(gt, wf)
+    return img_root, ann_path, gt
