@@ -88,29 +88,38 @@ def make_discriminative_coco(root, num_images=24, img_w=192, img_h=160, seed=100
     rng = np.random.default_rng(seed)
     img_root = os.path.join(root, "imgs")
     os.makedirs(img_root, exist_ok=True)
-    ys, xs = np.mgrid[0:img_h, 0:img_w].astype(np.float32)
     images, annotations = [], []
     ann_id = 1
     for img_id in range(1, num_images + 1):
         img = rng.integers(40, 120, size=(img_h, img_w, 3)).astype(np.float32)
+        centers = []
         file_name = f"{img_id:012d}.jpg"
         images.append({"id": img_id, "width": img_w, "height": img_h,
                        "coco_url": f"http://x/{file_name}", "file_name": file_name})
         occluders = []
         for _ in range(int(people_per_image)):
             spread = rng.uniform(*scale_range)
-            cx = rng.uniform(2.2 * spread, img_w - 2.2 * spread)
-            cy = rng.uniform(2.2 * spread, img_h - 2.2 * spread)
+            for _try in range(20):  # keep instances separated enough to
+                cx = rng.uniform(2.2 * spread, img_w - 2.2 * spread)  # be
+                cy = rng.uniform(2.2 * spread, img_h - 2.2 * spread)  # learnable
+                if all((cx - a) ** 2 + (cy - b) ** 2 > (2.5 * spread) ** 2
+                       for a, b in centers):
+                    break
+            centers.append((cx, cy))
             kp = np.zeros((17, 3), dtype=np.float64)
             kp[:, 0] = np.clip(rng.normal(cx, spread, 17), 2.0, img_w - 3.0)
             kp[:, 1] = np.clip(rng.normal(cy, spread * 1.25, 17), 2.0, img_h - 3.0)
             kp[:, 2] = 2
+            # solid color discs (the proven-learnable rendering of
+            # make_synth_coco) painted at the ROUNDED position; the GT keeps
+            # the float coordinates, so a perfect marker-detector still
+            # carries up to 0.5 px of irreducible sub-pixel error that OKS
+            # scores continuously
             for j in range(17):
-                color = np.array([(j * 15) % 256, (255 - j * 13) % 256,
-                                  (j * 29 + 64) % 256], np.float32)
-                blob = np.exp(-((xs - kp[j, 0]) ** 2 + (ys - kp[j, 1]) ** 2)
-                              / (2.0 * blob_sigma ** 2))
-                img += blob[..., None] * (color - img) * 0.95
+                color = tuple(int(v) for v in (
+                    (j * 15) % 256, (255 - j * 13) % 256, (j * 29 + 64) % 256))
+                cv.circle(img, (int(round(kp[j, 0])), int(round(kp[j, 1]))),
+                          max(2, int(round(blob_sigma))), color, -1)
             for j in range(17):
                 if rng.uniform() < occlude_frac:
                     r = max(2.0, blob_sigma * 2.5)
