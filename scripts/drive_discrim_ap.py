@@ -37,9 +37,9 @@ def main():
 
     from simple_pose_tpu.train.config import load_config
     from simple_pose_tpu.train.solver import PoseSolver
-    from tests.util_synth import make_discriminative_coco
+    from tests.util_synth import make_discriminative_coco, make_synth_coco
 
-    epochs = int(os.environ.get("DISCRIM_EPOCHS", 800))
+    epochs = int(os.environ.get("DISCRIM_EPOCHS", 600))
     val_every = int(os.environ.get("DISCRIM_VAL_EVERY", 100))
     mtype, mname = os.environ.get("DISCRIM_MODEL", "pose_resnet_dconv:resnet18").split(":")
     tmp = tempfile.mkdtemp(prefix="discrim_")
@@ -53,14 +53,20 @@ def main():
     # gaussian-blob markers (first attempt) plateau the same way.  So:
     # train = clean single-person discs; val = unseen images with the
     # neighbor-distractor, occlusion and scale-extreme hardness.
-    tr_root, tr_ann, _ = make_discriminative_coco(
+    # Train on the PROVEN painted-marker corpus (the overfit drive's
+    # generator, same color scheme as the val discs): chip bisection showed
+    # the marker task sits near a convergence cliff -- identical configs
+    # fall into the no-learning basin under mere validate-cadence RNG
+    # differences when the corpus is marginal (2-person distractors,
+    # gaussian blobs, tight uniform spreads all plateau at loss ~0.018).
+    # The held-out val corpus carries all the discriminative hardness.
+    tr_root, tr_ann, _ = make_synth_coco(
         os.path.join(tmp, "train"), num_images=32, seed=100,
-        people_per_image=1, scale_range=(10.0, 16.0), occlude_frac=0.0,
-        blob_sigma=2.5, img_w=160, img_h=128)
+        paint_markers=True)
     va_root, va_ann, _ = make_discriminative_coco(
         os.path.join(tmp, "val"), num_images=24, seed=777,
         people_per_image=2, scale_range=(6.5, 22.0), occlude_frac=0.18,
-        blob_sigma=2.5)
+        blob_sigma=3.0)
 
     amp = jax.default_backend() == "tpu"
     cfg = load_config({
@@ -76,7 +82,7 @@ def main():
             "augment": os.environ.get("DISCRIM_AUGMENT", "0") == "1",
         },
         "model": {"type": mtype, "name": mname, "num_joints": 17},
-        "optim": {"lr": 1e-3, "milestones": [max(2, epochs - 200)], "epochs": epochs,
+        "optim": {"lr": 1e-3, "milestones": [max(2, epochs - 100)], "epochs": epochs,
                   "gamma": 0.1, "amp": amp},
         "val": {"interval": 1, "weight_path": os.path.join(tmp, "weights")},
         "mesh": {"data": len(jax.devices())},
