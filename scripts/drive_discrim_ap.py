@@ -76,10 +76,16 @@ def main():
             "train_img_root": tr_root, "val_img_root": va_root,
             "batch_size": 32, "num_workers": 2, "canvas": 224,  # canvas covers both corpora
             "input_shape": [64, 64],
-            # default off: the +-40deg/0.7-1.3x aug regime needs far more
-            # steps than this drive budget; instance-scale variety comes
-            # from the corpus itself.  DISCRIM_AUGMENT=1 opts in.
-            "augment": os.environ.get("DISCRIM_AUGMENT", "0") == "1",
+            # generalization to the held-out corpus REQUIRES augmentation
+            # (without it the net memorizes image->pose: train AP 1.0 but
+            # held-out AP 0.0, run-5 chip evidence) -- but the full
+            # reference regime (0.7-1.3x, +-40deg) keeps this small marker
+            # task in the all-zeros basin for 2500+ steps.  Gentle ranges
+            # via the aug_scale/aug_rot knobs converge AND decorrelate
+            # pose from image identity.  DISCRIM_AUGMENT=0 opts out.
+            "augment": os.environ.get("DISCRIM_AUGMENT", "1") == "1",
+            "aug_scale": [0.9, 1.1],
+            "aug_rot": [-12.0, 12.0],
         },
         "model": {"type": mtype, "name": mname, "num_joints": 17},
         "optim": {"lr": 1e-3, "milestones": [max(2, epochs - 100)], "epochs": epochs,

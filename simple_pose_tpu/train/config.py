@@ -38,6 +38,12 @@ class DataConfig:
     # training-time augmentation (flip/rotation/scale jitter/DPG); the
     # reference always augments -- False is for overfit drives / fine-tunes
     augment: bool = True
+    # aug ranges: ctor params of the reference transforms
+    # (BasicSimpleTransform(scale=, ratio=), commons/transforms.py:64-78);
+    # the reference solvers use the defaults, but the knobs are part of the
+    # transform API surface
+    aug_scale: Tuple[float, float] = (0.7, 1.3)
+    aug_rot: Tuple[float, float] = (-40.0, 40.0)
     # canvas dedup: ship one canvas per source IMAGE instead of per crop
     # (COCO averages ~2.3 instances/image -> ~2x less host decode + H2D).
     # dedup_ratio = canvas slots / crops per batch; 0 disables.

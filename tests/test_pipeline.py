@@ -262,3 +262,14 @@ def test_check_center_reaches_solver_config():
     cfg = load_config({"data": {"check_center": True}})
     assert cfg.data.check_center is True
     assert load_config({}).data.check_center is False
+
+
+def test_aug_range_knobs_reach_transform():
+    """DataConfig.aug_scale/aug_rot plumb through PosePipeline into the
+    sample transform (the reference transforms' ctor params,
+    commons/transforms.py:64-78)."""
+    from simple_pose_tpu.data.pipeline import PosePipeline
+
+    pipe = PosePipeline([], 4, augment=True, aug_scale=(0.9, 1.1), aug_rot=(-12, 12))
+    assert pipe.transform.scale == (0.9, 1.1)
+    assert pipe.transform.rot == (-12, 12)
