@@ -86,6 +86,10 @@ def main():
             "augment": os.environ.get("DISCRIM_AUGMENT", "1") == "1",
             "aug_scale": [0.9, 1.1],
             "aug_rot": [-12.0, 12.0],
+            # flip aug is 50% label noise on color-coded markers (colors
+            # encode joint identity; flipping swaps the left/right labels
+            # but not the colors) -- THE all-zeros basin of runs 1/6/7
+            "aug_flip": False,
         },
         "model": {"type": mtype, "name": mname, "num_joints": 17},
         "optim": {"lr": 1e-3, "milestones": [max(2, epochs - 100)], "epochs": epochs,

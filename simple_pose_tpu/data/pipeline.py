@@ -171,7 +171,7 @@ class PosePipeline:
                  process_index: int = 0, process_count: int = 1,
                  drop_last: bool = True, use_native: Optional[bool] = None,
                  dedup_canvases: int = 0, dedup_buckets: int = 1,
-                 aug_scale=(0.7, 1.3), aug_rot=(-40, 40)):
+                 aug_scale=(0.7, 1.3), aug_rot=(-40, 40), aug_flip=True):
         self.records = list(records)
         self.batch_size = batch_size
         self.canvas = canvas
@@ -184,7 +184,8 @@ class PosePipeline:
         self.process_count = process_count
         self.drop_last = drop_last
         self.transform = _SampleTransform(input_shape=input_shape, output_shape=output_shape,
-                                          scale=tuple(aug_scale), rot=tuple(aug_rot))
+                                          scale=tuple(aug_scale), rot=tuple(aug_rot),
+                                          flip=bool(aug_flip))
         self.num_joints = self.records[0].joints.shape[0] if self.records else 17
         # canvas dedup: COCO averages ~2.3 instances/image, so shipping one
         # canvas per CROP wastes ~2x host decode + H2D.  dedup_canvases = U

@@ -44,6 +44,12 @@ class DataConfig:
     # transform API surface
     aug_scale: Tuple[float, float] = (0.7, 1.3)
     aug_rot: Tuple[float, float] = (-40.0, 40.0)
+    # horizontal flip (transforms.py:206-210; joint_pairs=None disables in
+    # the reference).  Off is also the right setting for corpora whose
+    # keypoint identity is appearance-coded asymmetrically (synthetic
+    # color markers: flip swaps the left/right LABELS but not the colors,
+    # which is 50% label noise on every paired joint)
+    aug_flip: bool = True
     # canvas dedup: ship one canvas per source IMAGE instead of per crop
     # (COCO averages ~2.3 instances/image -> ~2x less host decode + H2D).
     # dedup_ratio = canvas slots / crops per batch; 0 disables.

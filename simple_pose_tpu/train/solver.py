@@ -226,6 +226,7 @@ class PoseSolver:
                 output_shape=(in_w // 4, in_h // 4), canvas=cfgd.data.canvas,
                 augment=cfgd.data.augment, seed=cfgd.seed, num_threads=cfgd.data.num_workers,
                 aug_scale=cfgd.data.aug_scale, aug_rot=cfgd.data.aug_rot,
+                aug_flip=cfgd.data.aug_flip,
                 process_index=jax.process_index(), process_count=jax.process_count(),
                 dedup_canvases=dedup_canvases, dedup_buckets=n_buckets,
             )

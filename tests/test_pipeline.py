@@ -270,6 +270,8 @@ def test_aug_range_knobs_reach_transform():
     commons/transforms.py:64-78)."""
     from simple_pose_tpu.data.pipeline import PosePipeline
 
-    pipe = PosePipeline([], 4, augment=True, aug_scale=(0.9, 1.1), aug_rot=(-12, 12))
+    pipe = PosePipeline([], 4, augment=True, aug_scale=(0.9, 1.1), aug_rot=(-12, 12),
+                        aug_flip=False)
     assert pipe.transform.scale == (0.9, 1.1)
     assert pipe.transform.rot == (-12, 12)
+    assert pipe.transform.flip is False
