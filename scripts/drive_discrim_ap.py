@@ -39,8 +39,8 @@ def main():
     from simple_pose_tpu.train.solver import PoseSolver
     from tests.util_synth import make_discriminative_coco, make_synth_coco
 
-    epochs = int(os.environ.get("DISCRIM_EPOCHS", 600))
-    val_every = int(os.environ.get("DISCRIM_VAL_EVERY", 100))
+    epochs = int(os.environ.get("DISCRIM_EPOCHS", 1500))
+    val_every = int(os.environ.get("DISCRIM_VAL_EVERY", 250))
     mtype, mname = os.environ.get("DISCRIM_MODEL", "pose_resnet_dconv:resnet18").split(":")
     tmp = tempfile.mkdtemp(prefix="discrim_")
     # train: light occlusion so convergence is reachable; val: held-out seed,
@@ -60,9 +60,16 @@ def main():
     # differences when the corpus is marginal (2-person distractors,
     # gaussian blobs, tight uniform spreads all plateau at loss ~0.018).
     # The held-out val corpus carries all the discriminative hardness.
-    tr_root, tr_ann, _ = make_synth_coco(
-        os.path.join(tmp, "train"), num_images=32, seed=100,
-        paint_markers=True)
+    # chip bisection (mirror variants A-F, /tmp/mirror_*.log): the
+    # 1-person discriminative generator converges under gentle aug
+    # (scale+rot+DPG, no flip) while the full-range-noise-background
+    # make_synth_coco corpus plateaus under the same aug -- marker
+    # detection under transform needs the lower-contrast background.
+    tr_root, tr_ann, _ = make_discriminative_coco(
+        os.path.join(tmp, "train"),
+        num_images=int(os.environ.get("DISCRIM_TRAIN_IMAGES", 48)), seed=100,
+        people_per_image=1, scale_range=(10.0, 16.0), occlude_frac=0.0,
+        blob_sigma=2.5, img_w=160, img_h=128)
     va_root, va_ann, _ = make_discriminative_coco(
         os.path.join(tmp, "val"), num_images=24, seed=777,
         people_per_image=2, scale_range=(6.5, 22.0), occlude_frac=0.18,
