@@ -39,41 +39,45 @@ def main():
     from simple_pose_tpu.train.solver import PoseSolver
     from tests.util_synth import make_discriminative_coco, make_synth_coco
 
-    epochs = int(os.environ.get("DISCRIM_EPOCHS", 1500))
-    val_every = int(os.environ.get("DISCRIM_VAL_EVERY", 250))
+    epochs = int(os.environ.get("DISCRIM_EPOCHS", 300))
+    val_every = int(os.environ.get("DISCRIM_VAL_EVERY", 50))
     mtype, mname = os.environ.get("DISCRIM_MODEL", "pose_resnet_dconv:resnet18").split(":")
     tmp = tempfile.mkdtemp(prefix="discrim_")
-    # train: light occlusion so convergence is reachable; val: held-out seed,
-    # full hardness (smaller people, more occlusion)
-    # ALL the hardness lives on the held-out val side.  Measured on chip:
-    # the solver converges to AP 1.0 in ~250 epochs on a 1-person clean
-    # corpus (the /tmp/mirror_test A/B), but 2-person training images put an
-    # identical-color distractor marker of the neighbor inside most crops
-    # and the loss never leaves the ~0.018 all-zeros plateau (2400 steps);
-    # gaussian-blob markers (first attempt) plateau the same way.  So:
-    # train = clean single-person discs; val = unseen images with the
-    # neighbor-distractor, occlusion and scale-extreme hardness.
-    # Train on the PROVEN painted-marker corpus (the overfit drive's
-    # generator, same color scheme as the val discs): chip bisection showed
-    # the marker task sits near a convergence cliff -- identical configs
-    # fall into the no-learning basin under mere validate-cadence RNG
-    # differences when the corpus is marginal (2-person distractors,
-    # gaussian blobs, tight uniform spreads all plateau at loss ~0.018).
-    # The held-out val corpus carries all the discriminative hardness.
-    # chip bisection (mirror variants A-F, /tmp/mirror_*.log): the
-    # 1-person discriminative generator converges under gentle aug
-    # (scale+rot+DPG, no flip) while the full-range-noise-background
-    # make_synth_coco corpus plateaus under the same aug -- marker
-    # detection under transform needs the lower-contrast background.
+    # Corpus design, settled by chip bisection across many runs:
+    #   * 1 person/image: 2-person identical-color distractors never leave
+    #     the all-zeros loss plateau (colors encode joint identity, so the
+    #     neighbor's marker is an unresolvable duplicate inside the crop);
+    #   * gentle aug (0.9-1.1x, +-12deg, no flip): the full reference regime
+    #     keeps this small-marker task in the no-learning basin, and flip is
+    #     50% label noise on color-coded joints (aug_flip=False);
+    #   * low-contrast background (40-120): full-range noise backgrounds
+    #     plateau under aug (mirror variants A-F, /tmp/mirror_*.log);
+    #   * joint_sep: WITHOUT a minimum joint separation the 17 discs
+    #     overdraw each other inside the ~spread-px cluster and the net
+    #     learns the cluster prior, not the markers -- train AP 1.0 but
+    #     held-out AP exactly 0.0 even on an identical-recipe new-seed
+    #     corpus, held-out error ~= the joint spread
+    #     (PROBE_DISCRIM_HARDNESS.json, run of 2026-08-19);
+    #   * many train images: at 48 images memorization is cheaper than
+    #     detection; 256 unique images make detection the cheaper solution.
+    # Val = SAME base recipe, held-out seed, plus graded hardness (wider
+    # scale sweep + occluders) so float AP lands strictly inside
+    # (0.2, 0.98) -- NOT the four-knobs-at-once jump (2 people + scale
+    # 6.5-22 + occlusion + fatter blobs) that scored exactly 0.0 on the
+    # first full run.
+    base = dict(people_per_image=1, blob_sigma=2.5, joint_sep=7.0,
+                img_w=160, img_h=128)
     tr_root, tr_ann, _ = make_discriminative_coco(
         os.path.join(tmp, "train"),
-        num_images=int(os.environ.get("DISCRIM_TRAIN_IMAGES", 48)), seed=100,
-        people_per_image=1, scale_range=(10.0, 16.0), occlude_frac=0.0,
-        blob_sigma=2.5, img_w=160, img_h=128)
+        num_images=int(os.environ.get("DISCRIM_TRAIN_IMAGES", 256)), seed=100,
+        scale_range=(10.0, 16.0), occlude_frac=0.0, **base)
     va_root, va_ann, _ = make_discriminative_coco(
-        os.path.join(tmp, "val"), num_images=24, seed=777,
-        people_per_image=2, scale_range=(6.5, 22.0), occlude_frac=0.18,
-        blob_sigma=3.0)
+        os.path.join(tmp, "val"), seed=777,
+        num_images=int(os.environ.get("DISCRIM_VAL_IMAGES", 48)),
+        scale_range=(float(os.environ.get("DISCRIM_VAL_SCALE_LO", 8.0)),
+                     float(os.environ.get("DISCRIM_VAL_SCALE_HI", 18.0))),
+        occlude_frac=float(os.environ.get("DISCRIM_VAL_OCCLUDE", 0.12)),
+        **base)
 
     amp = jax.default_backend() == "tpu"
     cfg = load_config({

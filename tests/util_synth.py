@@ -65,7 +65,7 @@ def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per
 
 def make_discriminative_coco(root, num_images=24, img_w=192, img_h=160, seed=100,
                              people_per_image=2, scale_range=(6.0, 26.0),
-                             occlude_frac=0.15, blob_sigma=1.6):
+                             occlude_frac=0.15, blob_sigma=1.6, joint_sep=0.0):
     """Harder synthetic corpus for a DISCRIMINATIVE AP benchmark: unlike the
     painted-marker overfit set (AP saturates at 1.0), a trained model lands
     strictly below 1.0 here, so tenths-of-AP parity drift (quant / export /
@@ -80,6 +80,14 @@ def make_discriminative_coco(root, num_images=24, img_w=192, img_h=160, seed=100
       * occlusion: gray rectangles painted over ~occlude_frac of joints
         AFTER rendering (GT stays vis=2, the visual evidence is gone);
       * 2+ overlapping people per image (blob collisions/merges).
+
+    joint_sep > 0 rejection-samples each joint to keep >= joint_sep px from
+    the instance's other joints (best-of-40 fallback when the spread is too
+    tight to satisfy it).  Without it 17 discs of radius ~blob_sigma overdraw
+    each other inside the ~spread-px cluster, most joints have no visual
+    evidence, and a trained net predicts the cluster prior instead of the
+    markers (chip evidence: held-out mean error ~= spread, AP exactly 0,
+    PROBE_DISCRIM_HARDNESS.json).
 
     Returns (img_root, ann_path, gt).
     """
@@ -107,8 +115,26 @@ def make_discriminative_coco(root, num_images=24, img_w=192, img_h=160, seed=100
                     break
             centers.append((cx, cy))
             kp = np.zeros((17, 3), dtype=np.float64)
-            kp[:, 0] = np.clip(rng.normal(cx, spread, 17), 2.0, img_w - 3.0)
-            kp[:, 1] = np.clip(rng.normal(cy, spread * 1.25, 17), 2.0, img_h - 3.0)
+            if joint_sep > 0:
+                pts = []
+                for _j in range(17):
+                    best, best_d = None, -1.0
+                    for _try in range(40):
+                        x = float(np.clip(rng.normal(cx, spread), 2.0, img_w - 3.0))
+                        y = float(np.clip(rng.normal(cy, spread * 1.25), 2.0, img_h - 3.0))
+                        d = min(((x - a) ** 2 + (y - b) ** 2) ** 0.5
+                                for a, b in pts) if pts else float("inf")
+                        if d >= joint_sep:
+                            best = (x, y)
+                            break
+                        if d > best_d:
+                            best_d, best = d, (x, y)
+                    pts.append(best)
+                kp[:, 0] = [p[0] for p in pts]
+                kp[:, 1] = [p[1] for p in pts]
+            else:
+                kp[:, 0] = np.clip(rng.normal(cx, spread, 17), 2.0, img_w - 3.0)
+                kp[:, 1] = np.clip(rng.normal(cy, spread * 1.25, 17), 2.0, img_h - 3.0)
             kp[:, 2] = 2
             # solid color discs (the proven-learnable rendering of
             # make_synth_coco) painted at the ROUNDED position; the GT keeps
