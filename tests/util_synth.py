@@ -89,10 +89,29 @@ def make_discriminative_coco(root, num_images=24, img_w=192, img_h=160, seed=100
     markers (chip evidence: held-out mean error ~= spread, AP exactly 0,
     PROBE_DISCRIM_HARDNESS.json).
 
+    Joint colors are 17 maximally-separated hues (full S/V), written as
+    4:4:4 quality-98 JPEG: with the make_synth_coco RGB-ramp palette
+    (neighboring joints 15-29 RGB steps apart) plus default 4:2:0 chroma
+    subsampling, only ~25% of joints in the saved files were identifiable
+    by nearest-palette color at the marker center -- joint IDENTITY was
+    unrecoverable from local evidence, so memorization was the only
+    solution SGD could find (train AP 1.0, held-out AP exactly 0.0 at both
+    48 and 256 train images).  The hue palette alone restores 100%
+    center-pixel identifiability in a 60-image offline trial.
+
     Returns (img_root, ann_path, gt).
     """
     import cv2 as cv
 
+    # 17 maximally-separated hues (cv2 hue range is 0-179); painted in BGR
+    # below since cv.imwrite takes BGR
+    palette = [
+        tuple(int(v) for v in cv.cvtColor(
+            np.uint8([[[int(j * 180 / 17), 255, 255]]]), cv.COLOR_HSV2BGR)[0, 0])
+        for j in range(17)
+    ]
+    jpeg_params = [cv.IMWRITE_JPEG_QUALITY, 98,
+                   cv.IMWRITE_JPEG_SAMPLING_FACTOR, cv.IMWRITE_JPEG_SAMPLING_FACTOR_444]
     rng = np.random.default_rng(seed)
     img_root = os.path.join(root, "imgs")
     os.makedirs(img_root, exist_ok=True)
@@ -136,16 +155,13 @@ def make_discriminative_coco(root, num_images=24, img_w=192, img_h=160, seed=100
                 kp[:, 0] = np.clip(rng.normal(cx, spread, 17), 2.0, img_w - 3.0)
                 kp[:, 1] = np.clip(rng.normal(cy, spread * 1.25, 17), 2.0, img_h - 3.0)
             kp[:, 2] = 2
-            # solid color discs (the proven-learnable rendering of
-            # make_synth_coco) painted at the ROUNDED position; the GT keeps
+            # solid color discs painted at the ROUNDED position; the GT keeps
             # the float coordinates, so a perfect marker-detector still
             # carries up to 0.5 px of irreducible sub-pixel error that OKS
             # scores continuously
             for j in range(17):
-                color = tuple(int(v) for v in (
-                    (j * 15) % 256, (255 - j * 13) % 256, (j * 29 + 64) % 256))
                 cv.circle(img, (int(round(kp[j, 0])), int(round(kp[j, 1]))),
-                          max(2, int(round(blob_sigma))), color, -1)
+                          max(2, int(round(blob_sigma))), palette[j], -1)
             for j in range(17):
                 if rng.uniform() < occlude_frac:
                     r = max(2.0, blob_sigma * 2.5)
@@ -164,7 +180,7 @@ def make_discriminative_coco(root, num_images=24, img_w=192, img_h=160, seed=100
             img[int(max(0, oy - r)):int(oy + r) + 1,  # hide a neighbor's joint)
                 int(max(0, ox - r)):int(ox + r) + 1] = 96.0
         cv.imwrite(os.path.join(img_root, file_name),
-                   np.clip(img, 0, 255).astype(np.uint8))
+                   np.clip(img, 0, 255).astype(np.uint8), jpeg_params)
     gt = {"images": images, "annotations": annotations,
           "categories": [{"id": 1, "name": "person"}]}
     ann_path = os.path.join(root, "ann.json")
