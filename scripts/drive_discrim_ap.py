@@ -80,13 +80,20 @@ def main():
         **base)
 
     amp = jax.default_backend() == "tpu"
+    # 128x128 crops: at 64x64 the ~5px marker discs shrink to ~1px after the
+    # ResNet stem's stride-4 and generalizable detection never gets off the
+    # ~0.015 loss plateau in <10k steps (runs 12/13: val AP 0.000x after
+    # 300+ epochs while train AP ~1.0 via memorization).  The crop UPSCALES
+    # the person box at 128, discs land at 2-3px post-stem, and the 32x32
+    # heatmap quadruples decode precision.
+    in_edge = int(os.environ.get("DISCRIM_INPUT", 128))
     cfg = load_config({
         "model_name": "discrim_drive",
         "data": {
             "train_ann_path": tr_ann, "val_ann_path": va_ann,
             "train_img_root": tr_root, "val_img_root": va_root,
             "batch_size": 32, "num_workers": 2, "canvas": 224,  # canvas covers both corpora
-            "input_shape": [64, 64],
+            "input_shape": [in_edge, in_edge],
             # generalization to the held-out corpus REQUIRES augmentation
             # (without it the net memorizes image->pose: train AP 1.0 but
             # held-out AP 0.0, run-5 chip evidence) -- but the full
@@ -128,7 +135,7 @@ def main():
     solver.save_checkpoint(last_ep, ap_by_epoch[max(ap_by_epoch)])
     ckpt = os.path.join(tmp, "weights", f"{mtype}_last")  # _best needs a strictly-better AP than the in-loop validate already recorded
     model_cfg = {"type": mtype, "name": mname, "num_joints": 17}
-    kw = dict(weights=ckpt, batch_size=32, input_shape=(64, 64), canvas=224,
+    kw = dict(weights=ckpt, batch_size=32, input_shape=(in_edge, in_edge), canvas=224,
               out_path=os.path.join(tmp, "res.json"), amp=amp)
 
     train_ap = predicts_by_gt(tr_root, tr_ann, model_cfg, **kw)["AP"]

@@ -23,20 +23,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # train-recipe baseline (drive_discrim_ap.py): everything defaults to this,
-# each grid row overrides ONE knob (last rows = the failed val combo).
+# each grid row overrides ONE knob (last row = the drive's val recipe).
 BASE = dict(num_images=24, people_per_image=1, scale_range=(10.0, 16.0),
-            occlude_frac=0.0, blob_sigma=2.5, img_w=160, img_h=128)
+            occlude_frac=0.0, blob_sigma=2.5, joint_sep=7.0,
+            img_w=160, img_h=128)
 GRID = [
     ("heldout_same", {}),
     ("scale_8_18", {"scale_range": (8.0, 18.0)}),
     ("scale_6.5_22", {"scale_range": (6.5, 22.0)}),
-    ("occlude_0.10", {"occlude_frac": 0.10}),
-    ("occlude_0.18", {"occlude_frac": 0.18}),
+    ("occlude_0.06", {"occlude_frac": 0.06}),
+    ("occlude_0.12", {"occlude_frac": 0.12}),
     ("sigma_3.0", {"blob_sigma": 3.0}),
     ("people_2", {"people_per_image": 2}),
-    ("val_combo", {"people_per_image": 2, "scale_range": (6.5, 22.0),
-                   "occlude_frac": 0.18, "blob_sigma": 3.0,
-                   "img_w": 192, "img_h": 160}),
+    ("val_recipe", {"scale_range": (8.0, 18.0), "occlude_frac": 0.12}),
 ]
 
 
