@@ -81,6 +81,9 @@ def main():
                            help="load calibrated w8a8 scales json")
             p.add_argument("--save-scales", default=None,
                            help="write calibrated w8a8 scales json (with --quant-calib)")
+            p.add_argument("--fused-layer1", action="store_true",
+                           help="run layer1 as one fused VMEM-resident Pallas "
+                                "chain (single-device serving fast path)")
 
     p = sub.add_parser("gt", help="GT-box eval")
     common(p)
@@ -193,7 +196,7 @@ def main():
             input_shape=(args.input_w, args.input_h),
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
-            **_quant_kwargs(args),
+            fused_layer1=args.fused_layer1, **_quant_kwargs(args),
         )
     elif args.cmd == "detections":
         stats = evalkit.predicts_by_detections(
@@ -202,7 +205,7 @@ def main():
             input_shape=(args.input_w, args.input_h),
             flip_test=args.flip_test, out_path=args.out, debug=args.debug,
             amp=False if args.no_amp else "auto", mesh=_mesh(args),
-            **_quant_kwargs(args),
+            fused_layer1=args.fused_layer1, **_quant_kwargs(args),
         )
     elif args.cmd == "gen-dets":
         from simple_pose_tpu.evalkit.workflows import gen_detections

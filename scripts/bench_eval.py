@@ -30,6 +30,9 @@ def main():
                     help="calibrate static activation scales on the bench "
                          "batch first (measures the fully static deployed "
                          "program, no dynamic max-reduces)")
+    ap.add_argument("--fused-layer1", action="store_true",
+                    help="fold BN and run layer1 as one VMEM-resident Pallas "
+                         "chain (ops/pallas_bottleneck)")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--mesh", action="store_true",
                     help="run the sharded evaluator over a Mesh of all devices "
@@ -60,6 +63,7 @@ def main():
          "reduction": args.reduction},
         None, input_shape, flip_test=args.flip_test,
         amp=False if args.no_amp else "auto", mesh=mesh, quant=args.quant,
+        fused_layer1=args.fused_layer1,
     )
     rng = np.random.default_rng(0)
     s = canvas / max(input_shape)
@@ -86,7 +90,8 @@ def main():
                   + ("_fliptest" if args.flip_test else "")
                   + ("_sharded" if args.mesh else "")
                   + (f"_{args.quant}" if args.quant else "")
-                  + ("_static" if args.quant_calib else ""),
+                  + ("_static" if args.quant_calib else "")
+                  + ("_fusedl1" if args.fused_layer1 else ""),
         "value": round(per_chip, 1),
         "unit": "crops/s/chip",
     }))

@@ -96,6 +96,9 @@ def main():
     if pose_variants:
         ev = PoseEvaluator(model_cfg, None, input_shape, amp="auto")
         ev_q = None
+        if "fusedl1" in variants:
+            ev_l1 = PoseEvaluator(model_cfg, None, input_shape, amp="auto",
+                                  fused_layer1=True)
         if "quant" in variants or "export_quant" in variants:
             ev_q = PoseEvaluator(model_cfg, None, input_shape, amp="auto", quant="w8a8")
             ev_q.calibrate(iter([pose_batch(max(batches))]), 1)
@@ -107,6 +110,8 @@ def main():
                 per_variant["live_bf16"] = lambda: ev(batch)
             if "quant" in variants:
                 per_variant["live_w8a8_static"] = lambda: ev_q(batch)
+            if "fusedl1" in variants:
+                per_variant["live_fusedl1"] = lambda: ev_l1(batch)
             if "export" in variants:
                 call = jax.jit(load_exported(
                     export_evaluator(ev, b, (canvas, canvas)).serialize()).call)

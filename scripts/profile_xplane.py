@@ -44,11 +44,11 @@ def capture_eval():
         "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32),
                              (batch, 1, 1)),
     })
-    out = ev._step(ev.variables, b)
+    out = ev._step(ev.variables, ev._layer1_folded, b)
     float(jnp.sum(out["kps"]))
     with jax.profiler.trace(LOGDIR):
         for _ in range(5):
-            out = ev._step(ev.variables, b)
+            out = ev._step(ev.variables, ev._layer1_folded, b)
         float(jnp.sum(out["kps"]))
     print("captured", flush=True)
 

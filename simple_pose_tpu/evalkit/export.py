@@ -80,14 +80,21 @@ def export_evaluator(evaluator, batch_size, canvas_hw,
     canvas_sd = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8)
     trans_sd = jax.ShapeDtypeStruct((batch_size, 2, 3), jnp.float32)
     step, variables = evaluator._step, evaluator.variables
+    folded = evaluator._layer1_folded
+    if folded is not None and not bake_weights:
+        raise ValueError(
+            "fused_layer1 folds weights at evaluator build time, so an "
+            "external-weights export would silently ignore swapped-in layer1 "
+            "weights; use bake_weights=True or fused_layer1=False")
 
     if bake_weights:
         fn = jax.jit(lambda canvas, trans, trans_inv: step(
-            variables, {"canvas": canvas, "trans": trans, "trans_inv": trans_inv}))
+            variables, folded,
+            {"canvas": canvas, "trans": trans, "trans_inv": trans_inv}))
         args = (canvas_sd, trans_sd, trans_sd)
     else:
         fn = jax.jit(lambda v, canvas, trans, trans_inv: step(
-            v, {"canvas": canvas, "trans": trans, "trans_inv": trans_inv}))
+            v, folded, {"canvas": canvas, "trans": trans, "trans_inv": trans_inv}))
         vars_sd = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                                variables)
         args = (vars_sd, canvas_sd, trans_sd, trans_sd)

@@ -159,10 +159,18 @@ class PoseEvaluator:
     def __init__(self, model_cfg: dict, weights: Optional[str] = None,
                  input_shape=(192, 256), decoder: str = "gauss_taylor",
                  flip_test: bool = False, amp="auto", mesh=None,
-                 quant: Optional[str] = None, quant_scales: Optional[dict] = None):
+                 quant: Optional[str] = None, quant_scales: Optional[dict] = None,
+                 fused_layer1: bool = False):
         """quant_scales: calibrated activation scales
         (models/quant.calibrate_w8a8) -- compile-time constants replacing the
-        dynamic per-batch max-reduce."""
+        dynamic per-batch max-reduce.
+
+        fused_layer1: fold eval-mode BN into layer1's Bottleneck chain and
+        run it as ONE VMEM-resident Pallas kernel (ops/pallas_bottleneck;
+        docs/PERF.md round 4 -- 1.35x on the chain).  Single-device only
+        (pallas_call has no SPMD partition rule); with quant='w8a8' the
+        fused layer1 stays in the compute dtype (its convs bypass the int8
+        interceptor)."""
         from simple_pose_tpu.models.quant import QUANT_MODES, quantized
 
         if quant not in QUANT_MODES:
@@ -178,6 +186,22 @@ class PoseEvaluator:
             from simple_pose_tpu.parallel.mesh import replicated
 
             self.variables = jax.device_put(self.variables, replicated(mesh))
+        self._layer1_folded = None
+        if fused_layer1:
+            if mesh is not None:
+                raise ValueError(
+                    "fused_layer1 is single-device (pallas_call has no SPMD "
+                    "partition rule); drop mesh= or fused_layer1=")
+            from simple_pose_tpu.ops.pallas_bottleneck import fold_bottleneck_blocks
+
+            names = getattr(self.model, "layer1_block_names", lambda: None)()
+            if not names:
+                raise ValueError(
+                    f"fused_layer1: {model_cfg.get('type')} has no foldable "
+                    "Bottleneck layer1 (BasicBlock trunks and grouped convs "
+                    "don't qualify)")
+            self._layer1_folded = fold_bottleneck_blocks(
+                self.variables["params"], self.variables["batch_stats"], names)
         self.num_joints = model_cfg.get("num_joints", 17)
         self.flip_test = flip_test
         # 'dark_original' = the reference's third public decoder
@@ -198,7 +222,7 @@ class PoseEvaluator:
         crop_fn, decode, flip_perm = self._crop_fn, self._decode, self._flip_perm
         host_decode = self._host_decode
 
-        def step(variables, batch):
+        def step(variables, layer1_folded, batch):
             if "canvas_idx" in batch:  # dedup'd batch: one canvas per image
                 if mesh is not None:
                     from simple_pose_tpu.parallel.mesh import bucketed_gather_crop
@@ -213,11 +237,15 @@ class PoseEvaluator:
             # quant='w8a8' swaps every nn.Conv for the int8-MXU forward
             # (models/quant.py) at trace time; None is a no-op context
             with quantized(quant, quant_scales):
-                heat = self.model.apply(variables, x).transpose(0, 3, 1, 2).astype(jnp.float32)
+                heat = self.model.apply(
+                    variables, x, layer1_folded=layer1_folded,
+                ).transpose(0, 3, 1, 2).astype(jnp.float32)
             if flip_test:
                 xf = x[:, :, ::-1, :]
                 with quantized(quant, quant_scales):
-                    hf = self.model.apply(variables, xf).transpose(0, 3, 1, 2).astype(jnp.float32)
+                    hf = self.model.apply(
+                        variables, xf, layer1_folded=layer1_folded,
+                    ).transpose(0, 3, 1, 2).astype(jnp.float32)
                 hf = hf[:, flip_perm, :, ::-1]
                 # SimpleBaselines convention: shift flipped maps 1px right
                 hf = jnp.concatenate([hf[..., :1], hf[..., :-1]], axis=-1)
@@ -270,7 +298,7 @@ class PoseEvaluator:
             from simple_pose_tpu.parallel.mesh import shard_batch
 
             dev = shard_batch(dev, self.mesh)
-        out = self._step(self.variables, dev)
+        out = self._step(self.variables, self._layer1_folded, dev)
         if self._host_decode:
             from simple_pose_tpu.ops.decode import decode_dark_original
 
@@ -332,7 +360,7 @@ def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                    input_shape=(192, 256), decoder="gauss_taylor", flip_test=False,
                    out_path="test_gt_kpt.json", canvas=640, debug=0, dedup=True,
                    amp="auto", mesh=None, quant=None, quant_calib=0,
-                   quant_scales=None, quant_scales_out=None):
+                   quant_scales=None, quant_scales_out=None, fused_layer1=False):
     """GT-box eval (eval.py:30-66).  Returns the stats dict.
 
     quant_calib: calibrate static w8a8 activation scales on the first N
@@ -345,7 +373,8 @@ def predicts_by_gt(img_root, ann_path, model_cfg, weights=None, batch_size=32,
                         **_process_shard_kwargs(mesh),
                         **_dedup_plan(batch_size, dedup, mesh))
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
-                       mesh=mesh, quant=quant, quant_scales=quant_scales)
+                       mesh=mesh, quant=quant, quant_scales=quant_scales,
+                       fused_layer1=fused_layer1)
     _maybe_calibrate(ev, pipe, quant_calib, quant_scales_out)
     results = []
     for batch in _eval_prefetch(pipe.epoch(0), mesh):
@@ -365,7 +394,7 @@ def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weig
                            flip_test=False, out_path="predicts_kps_temp.json", canvas=640,
                            in_vis_thre=0.2, oks_thre=0.9, debug=0, dedup=True, amp="auto",
                            mesh=None, quant=None, quant_calib=0, quant_scales=None,
-                           quant_scales_out=None):
+                           quant_scales_out=None, fused_layer1=False):
     """Detector-box eval + OKS-NMS rescoring (eval.py:101-150 + 153-197).
 
     Returns the stats dict of the rescored/filtered predictions."""
@@ -375,7 +404,8 @@ def predicts_by_detections(img_root, det_json_path, gt_ann_path, model_cfg, weig
                           canvas=canvas, **_process_shard_kwargs(mesh),
                           **_dedup_plan(batch_size, dedup, mesh))
     ev = PoseEvaluator(model_cfg, weights, input_shape, decoder, flip_test, amp=amp,
-                       mesh=mesh, quant=quant, quant_scales=quant_scales)
+                       mesh=mesh, quant=quant, quant_scales=quant_scales,
+                       fused_layer1=fused_layer1)
     _maybe_calibrate(ev, pipe, quant_calib, quant_scales_out)
     predictions = []
     for batch in _eval_prefetch(pipe.epoch(0), mesh):

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import yaml
 
@@ -61,6 +62,13 @@ class PoseHRNet(nn.Module):
     train: bool = False
     dtype: Any = None
     remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
+
+    def layer1_block_names(self):
+        """Block names for ops/pallas_bottleneck.fold_bottleneck_blocks (the
+        fused eval-mode layer1 path).  HRNet's layer1 is always a stride-1
+        Bottleneck chain, so every config qualifies."""
+        cfg = self.cfg if self.cfg is not None else HRNET_W32_CFG
+        return [f"layer1_m0_b0_{i}" for i in range(cfg.get("LAYER1_NUM_BLOCKS", 4))]
 
     def _branch(self, x, stage: str, module: int, branch: int, block_name: str,
                 num_blocks: int, channels: int, in_channels: int):
@@ -142,7 +150,13 @@ class PoseHRNet(nn.Module):
         return outs
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layer1_folded=None):
+        """layer1_folded: optional pre-folded Bottleneck-chain weights
+        (ops/pallas_bottleneck.fold_bottleneck_blocks over this model's
+        ``layer1_m0_b0_*`` blocks) -- eval-only fast path that runs layer1
+        as ONE fused VMEM-resident Pallas kernel (docs/PERF.md round 4:
+        1.35x vs XLA convs on the chain).  The layer1 params in the
+        variables dict are then simply unused by apply."""
         cfg = self.cfg if self.cfg is not None else HRNET_W32_CFG
         # stem (pose_hrnet.py:276-283)
         x = conv(64, 3, stride=2, padding=1, name="conv1", dtype=self.dtype)(x)
@@ -151,7 +165,15 @@ class PoseHRNet(nn.Module):
         x = conv(64, 3, stride=2, padding=1, name="conv2", dtype=self.dtype)(x)
         x = batch_norm(self.train, name="bn2", dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = self._branch(x, "layer1", 0, 0, "BOTTLENECK", cfg.get("LAYER1_NUM_BLOCKS", 4), 64, 64)
+        if layer1_folded is not None:
+            from simple_pose_tpu.ops.pallas_bottleneck import bottleneck_chain_pallas
+
+            x = bottleneck_chain_pallas(
+                x, layer1_folded, compute_dtype=self.dtype or jnp.float32,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            x = self._branch(x, "layer1", 0, 0, "BOTTLENECK",
+                             cfg.get("LAYER1_NUM_BLOCKS", 4), 64, 64)
 
         ys = [x]
         prev_channels = [256]

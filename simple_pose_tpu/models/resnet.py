@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
+import jax.numpy as jnp
 
 from simple_pose_tpu.models.layers import (
     DUC,
@@ -118,8 +120,19 @@ class PoseResNet(nn.Module):
     remat: bool = False  # rematerialize blocks: trade FLOPs for activation
     # memory (jax.checkpoint), enabling larger per-chip batches
 
+    def layer1_block_names(self):
+        """Block names for ops/pallas_bottleneck.fold_bottleneck_blocks (the
+        fused eval-mode layer1 path); None when this trunk doesn't qualify
+        (BasicBlock math differs; grouped convs don't fold to dense matmuls)."""
+        if self.block != "bottleneck" or self.groups != 1:
+            return None
+        return [f"layer1_{i}" for i in range(self.layers[0])]
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layer1_folded=None):
+        """layer1_folded: optional pre-folded layer1 Bottleneck-chain weights
+        (see PoseHRNet.__call__) -- fused eval-mode Pallas path; layer1
+        params in the variables dict are then unused by apply."""
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         expansion = block_cls.expansion
         if self.remat:
@@ -134,6 +147,14 @@ class PoseResNet(nn.Module):
         for stage_idx, (planes, blocks, stride) in enumerate(
             zip((64, 128, 256, 512), self.layers, (1, 2, 2, 2)), start=1
         ):
+            if stage_idx == 1 and layer1_folded is not None:
+                from simple_pose_tpu.ops.pallas_bottleneck import bottleneck_chain_pallas
+
+                x = bottleneck_chain_pallas(
+                    x, layer1_folded, compute_dtype=self.dtype or jnp.float32,
+                    interpret=jax.default_backend() != "tpu")
+                inplanes = planes * expansion
+                continue
             for i in range(blocks):
                 s = stride if i == 0 else 1
                 use_ds = i == 0 and (s != 1 or inplanes != planes * expansion)

@@ -31,7 +31,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fold_conv_bn", "bottleneck_chain_pallas", "bottleneck_chain_xla"]
+__all__ = ["fold_conv_bn", "fold_bottleneck_blocks", "bottleneck_chain_pallas",
+           "bottleneck_chain_xla"]
 
 
 def fold_conv_bn(kernel, scale, bias, mean, var, eps=1e-5):
@@ -72,6 +73,14 @@ def _block_math(y, blk, hw, compute_dtype):
             acc = acc + mm(tap.reshape(h * w, width), blk["w2"][dy, dx])
     m2 = jnp.maximum(acc + blk["b2"], 0.0)
     out = mm(m2, blk["w3"]) + blk["b3"]
+    if blk.get("sf1") is not None:
+        # SE gate (models/layers.SELayer, reference nets/commons.py:4-18):
+        # global-mean pool -> fc1 -> relu -> fc2 -> sigmoid, applied to the
+        # main path before the residual add.  All tiny [1, C] matmuls.
+        v = jnp.mean(out, axis=0, keepdims=True)
+        g = jnp.maximum(mm(v, blk["sf1"]) + blk["sb1"], 0.0)
+        g = jax.nn.sigmoid(mm(g, blk["sf2"]) + blk["sb2"])
+        out = out * g
     out = jnp.maximum(out + identity, 0.0)
     return out.reshape(h, w, out.shape[-1])
 
@@ -90,11 +99,53 @@ def _flatten_blocks(blocks):
     specs, flat = [], []
     for blk in blocks:
         keys = ["w1", "b1", "w2", "b2", "w3", "b3"]
+        if blk.get("sf1") is not None:
+            keys += ["sf1", "sb1", "sf2", "sb2"]
         if blk.get("wd") is not None:
             keys += ["wd", "bd"]
         specs.append(tuple(keys))
         flat.extend(blk[k] for k in keys)
     return tuple(specs), flat
+
+
+def fold_bottleneck_blocks(params, batch_stats, block_names, *, eps=1e-5):
+    """Fold a chain of eval-mode Bottleneck blocks (models/resnet.Bottleneck
+    param layout: conv1/bn1, conv2/bn2, conv3/bn3, optional se.fc1/fc2 and
+    downsample_conv/downsample_bn) into the dict format
+    :func:`bottleneck_chain_pallas` consumes.
+
+    :param params: the model's ``variables['params']`` subtree holding the
+        blocks (e.g. the whole params dict; blocks addressed by name)
+    :param batch_stats: matching ``variables['batch_stats']``
+    :param block_names: chain order, e.g. ``['layer1_0', 'layer1_1', ...]``
+    """
+    blocks = []
+    for name in block_names:
+        p, s = params[name], batch_stats[name]
+        blk = {}
+        for i, (wk, bk) in enumerate((("w1", "b1"), ("w2", "b2"), ("w3", "b3")), 1):
+            bn = p[f"bn{i}"]
+            w, b = fold_conv_bn(p[f"conv{i}"]["kernel"], bn["scale"], bn["bias"],
+                                s[f"bn{i}"]["mean"], s[f"bn{i}"]["var"], eps)
+            if i != 2:  # 1x1 convs run as plain matmuls
+                w = w.reshape(w.shape[-2], w.shape[-1])
+            blk[wk], blk[bk] = w, b
+        if "se" in p:
+            blk["sf1"] = p["se"]["fc1"]["kernel"].reshape(
+                p["se"]["fc1"]["kernel"].shape[-2], -1)
+            blk["sb1"] = p["se"]["fc1"]["bias"]
+            blk["sf2"] = p["se"]["fc2"]["kernel"].reshape(
+                p["se"]["fc2"]["kernel"].shape[-2], -1)
+            blk["sb2"] = p["se"]["fc2"]["bias"]
+        if "downsample_conv" in p:
+            bn = p["downsample_bn"]
+            w, b = fold_conv_bn(p["downsample_conv"]["kernel"], bn["scale"], bn["bias"],
+                                s["downsample_bn"]["mean"], s["downsample_bn"]["var"], eps)
+            blk["wd"], blk["bd"] = w.reshape(w.shape[-2], w.shape[-1]), b
+        else:
+            blk["wd"] = None
+        blocks.append(blk)
+    return blocks
 
 
 def bottleneck_chain_pallas(x, blocks: Sequence[dict], *,

@@ -102,7 +102,7 @@ def test_export_polymorphic_batch(evaluator):
         batch = {k: np.resize(v, (size,) + v.shape[1:]) for k, v in full.items()}
         out = call(evaluator.variables, batch["canvas"], batch["trans"],
                    batch["trans_inv"])
-        live = evaluator._step(evaluator.variables, batch)
+        live = evaluator._step(evaluator.variables, evaluator._layer1_folded, batch)
         assert out["kps"].shape == (size, 17, 2)
         np.testing.assert_array_equal(np.asarray(out["kps"]),
                                       np.asarray(live["kps"]))

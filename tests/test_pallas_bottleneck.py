@@ -113,3 +113,99 @@ def test_fold_matches_real_flax_bottleneck():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
     got_p = bottleneck_chain_pallas(x, blocks, compute_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want), atol=2e-4)
+
+
+def _randomize_model_bn(variables, seed):
+    """Random running stats + BN affines everywhere so folding is
+    non-trivial AND eval activations stay normalized (random-init eval-mode
+    BN is an identity, which lets magnitudes blow up through deep nets)."""
+    r = np.random.default_rng(seed)
+
+    def rand_stat(path, leaf):
+        key = path[-1].key
+        if key == "mean":
+            return r.normal(0, 0.3, leaf.shape).astype(np.float32)
+        if key == "var":
+            return r.uniform(1.0, 4.0, leaf.shape).astype(np.float32)
+        return np.asarray(leaf)
+
+    stats = jax.tree_util.tree_map_with_path(rand_stat, variables["batch_stats"])
+    return {"params": variables["params"], "batch_stats": stats}
+
+
+def test_fused_layer1_apply_resnet50_se():
+    """PoseResNet(resnet50, se=True): full apply with layer1_folded (the
+    fused Pallas path, SE gate included -- the flagship's layer1 block 0
+    carries SE) == the ordinary flax forward."""
+    from simple_pose_tpu.models.resnet import build_resnet
+    from simple_pose_tpu.ops.pallas_bottleneck import fold_bottleneck_blocks
+
+    model = build_resnet("resnet50", se=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    variables = _randomize_model_bn(model.init(jax.random.PRNGKey(0), x), 7)
+    names = model.layer1_block_names()
+    assert names == ["layer1_0", "layer1_1", "layer1_2"]
+    folded = fold_bottleneck_blocks(variables["params"], variables["batch_stats"], names)
+    assert folded[0].get("sf1") is not None  # SE folded in block 0
+    assert folded[1].get("sf1") is None
+    want = model.apply(variables, x)
+    got = model.apply(variables, x, layer1_folded=folded)
+    scale = float(jnp.max(jnp.abs(want))) + 1e-9
+    assert float(jnp.max(jnp.abs(got - want))) / scale < 1e-4
+
+
+def test_fused_layer1_apply_hrnet_w32():
+    from simple_pose_tpu.models.hrnet import build_hrnet
+    from simple_pose_tpu.ops.pallas_bottleneck import fold_bottleneck_blocks
+
+    model = build_hrnet("w32")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    variables = _randomize_model_bn(model.init(jax.random.PRNGKey(0), x), 9)
+    names = model.layer1_block_names()
+    assert len(names) == 4 and names[0] == "layer1_m0_b0_0"
+    folded = fold_bottleneck_blocks(variables["params"], variables["batch_stats"], names)
+    want = model.apply(variables, x)
+    got = model.apply(variables, x, layer1_folded=folded)
+    scale = float(jnp.max(jnp.abs(want))) + 1e-9
+    assert float(jnp.max(jnp.abs(got - want))) / scale < 1e-4
+
+
+def test_layer1_block_names_unsupported_trunks():
+    from simple_pose_tpu.models.resnet import build_resnet
+
+    assert build_resnet("resnet18").layer1_block_names() is None  # BasicBlock
+    assert build_resnet("resnext50_32x4d").layer1_block_names() is None  # grouped
+
+
+def test_evaluator_fused_layer1():
+    """PoseEvaluator(fused_layer1=True) decodes the same keypoints as the
+    plain evaluator (identical PRNGKey(0) init weights), and the guards
+    reject mesh / non-foldable trunks."""
+    import pytest
+
+    from simple_pose_tpu.evalkit.workflows import PoseEvaluator
+
+    cfg = {"type": "pose_resnet_dconv", "name": "resnet50", "num_joints": 17}
+    rng = np.random.default_rng(0)
+    b, canvas = 2, 128
+    s = canvas / 64
+    batch = {
+        "canvas": rng.integers(0, 255, (b, canvas, canvas, 3), dtype=np.uint8),
+        "trans": np.tile(np.array([[1 / s, 0, 0], [0, 1 / s, 0]], np.float32), (b, 1, 1)),
+        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (b, 1, 1)),
+    }
+    ev0 = PoseEvaluator(cfg, None, (64, 64), amp=False)
+    ev1 = PoseEvaluator(cfg, None, (64, 64), amp=False, fused_layer1=True)
+    out0, out1 = ev0(batch), ev1(batch)
+    np.testing.assert_allclose(np.asarray(out1["kps"]), np.asarray(out0["kps"]),
+                               atol=0.15)  # canvas px
+    np.testing.assert_allclose(np.asarray(out1["conf"]), np.asarray(out0["conf"]),
+                               atol=1e-3)
+
+    with pytest.raises(ValueError, match="single-device"):
+        from simple_pose_tpu.parallel.mesh import make_mesh
+
+        PoseEvaluator(cfg, None, (64, 64), mesh=make_mesh(), fused_layer1=True)
+    with pytest.raises(ValueError, match="foldable"):
+        PoseEvaluator({"type": "pose_resnet_dconv", "name": "resnet18",
+                       "num_joints": 17}, None, (64, 64), fused_layer1=True)
