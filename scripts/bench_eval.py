@@ -65,18 +65,22 @@ def main():
         amp=False if args.no_amp else "auto", mesh=mesh, quant=args.quant,
         fused_layer1=args.fused_layer1,
     )
-    rng = np.random.default_rng(0)
     s = canvas / max(input_shape)
+    # Generate the canvas batch ON DEVICE: content is irrelevant to the
+    # timing (same shapes/dtypes), and host->device staging of the uint8
+    # canvases (b256*640*640*3 = 314 MB) takes ~30 min over the ~10 MB/s
+    # dev tunnel.  The timed loop below is unchanged: device-resident
+    # inputs either way.
     batch = {
-        "canvas": rng.integers(0, 255, (b, canvas, canvas, 3), dtype=np.uint8),
-        "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (b, 1, 1)),
-        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (b, 1, 1)),
+        "canvas": jax.jit(lambda k: jax.random.randint(
+            k, (b, canvas, canvas, 3), 0, 255, "uint8"))(jax.random.key(0)),
+        "trans": jax.device_put(np.tile(
+            np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (b, 1, 1))),
+        "trans_inv": jax.device_put(np.tile(
+            np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (b, 1, 1))),
     }
     if args.quant_calib:
         ev.calibrate(iter([batch]), 1)
-    # stage once on device: measure the device program, not host->device
-    # bandwidth (tunnel-limited in this dev environment)
-    batch = jax.device_put(batch)
     out = ev(batch)
     float(jnp.sum(out["kps"]))
     t0 = time.perf_counter()

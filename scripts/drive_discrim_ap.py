@@ -42,7 +42,11 @@ def main():
     epochs = int(os.environ.get("DISCRIM_EPOCHS", 300))
     val_every = int(os.environ.get("DISCRIM_VAL_EVERY", 50))
     mtype, mname = os.environ.get("DISCRIM_MODEL", "pose_resnet_dconv:resnet18").split(":")
-    tmp = tempfile.mkdtemp(prefix="discrim_")
+    # DISCRIM_DIR persists the run (corpus + checkpoint) across sessions so
+    # follow-up gates (e.g. drive_discrim_fusedl1.py) can reuse it -- /tmp
+    # mkdtemp dirs are wiped between driver sessions.
+    tmp = os.environ.get("DISCRIM_DIR") or tempfile.mkdtemp(prefix="discrim_")
+    os.makedirs(tmp, exist_ok=True)
     # Corpus design, settled by chip bisection across many runs:
     #   * 1 person/image: 2-person identical-color distractors never leave
     #     the all-zeros loss plateau (colors encode joint identity, so the
@@ -155,6 +159,11 @@ def main():
     run("w8a8_static", quant="w8a8", quant_calib=1)
     run("decoder_basic", decoder="basic")
     run("decoder_dark_original", decoder="dark_original")
+    if mtype == "pose_hrnet" and len(jax.devices()) == 1:
+        # the only discrim family with a foldable Bottleneck layer1 (the
+        # resnet drives train resnet18 = BasicBlock trunks, which reject);
+        # single-device only (pallas_call has no SPMD partition rule)
+        run("fused_layer1", fused_layer1=True)
     if len(jax.devices()) > 1:
         from simple_pose_tpu.parallel.mesh import make_mesh
 

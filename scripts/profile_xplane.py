@@ -35,15 +35,19 @@ def capture_eval():
     mtype, mname = model_name.split(":")
     canvas = 640
     ev = PoseEvaluator({"type": mtype, "name": mname, "num_joints": 17,
-                        "reduction": mtype != "pose_hrnet"}, None, (192, 256))
-    rng = np.random.default_rng(0)
+                        "reduction": mtype != "pose_hrnet"}, None, (192, 256),
+                       fused_layer1=os.environ.get("PROF_FUSEDL1") == "1")
     s = canvas / 256
-    b = jax.device_put({
-        "canvas": rng.integers(0, 255, (batch, canvas, canvas, 3), dtype=np.uint8),
-        "trans": np.tile(np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (batch, 1, 1)),
-        "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32),
-                             (batch, 1, 1)),
-    })
+    # canvas generated on device: host->device staging of the uint8 batch
+    # is tunnel-limited (~10 MB/s) in this dev environment (see bench_eval)
+    b = {
+        "canvas": jax.jit(lambda k: jax.random.randint(
+            k, (batch, canvas, canvas, 3), 0, 255, "uint8"))(jax.random.key(0)),
+        "trans": jax.device_put(np.tile(
+            np.array([[1 / s, 0, 2], [0, 1 / s, 2]], np.float32), (batch, 1, 1))),
+        "trans_inv": jax.device_put(np.tile(
+            np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (batch, 1, 1))),
+    }
     out = ev._step(ev.variables, ev._layer1_folded, b)
     float(jnp.sum(out["kps"]))
     with jax.profiler.trace(LOGDIR):

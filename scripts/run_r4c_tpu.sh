@@ -15,5 +15,9 @@ python scripts/bench_eval.py --model-type pose_resnet_dconv --model-name resnet5
 python scripts/bench_eval.py --model-type pose_resnet_dconv --model-name resnet50 \
     --reduction --batch 128 --iters 100 --fused-layer1
 
-# 2) discriminative AP: fused layer1 vs float on the saved HRNet checkpoint
-python scripts/drive_discrim_fusedl1.py /tmp/discrim_ivytbkt4
+# 2) discriminative AP: fused layer1 vs float.  The round-4b HRNet run dir
+# was wiped with /tmp; retrain (~37 min chip) with DISCRIM_DIR persistence --
+# the refreshed DISCRIM_HRNET.json now includes the fused_layer1 variant row.
+DISCRIM_MODEL=pose_hrnet:w32 DISCRIM_OUT=DISCRIM_HRNET.json \
+    DISCRIM_EPOCHS=600 DISCRIM_DIR=/root/repo/.discrim/hrnet_r4c \
+    python scripts/drive_discrim_ap.py
