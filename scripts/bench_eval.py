@@ -33,7 +33,10 @@ def main():
     ap.add_argument("--fused-layer1", action="store_true",
                     help="fold BN and run layer1 as one VMEM-resident Pallas "
                          "chain (ops/pallas_bottleneck)")
-    ap.add_argument("--iters", type=int, default=10)
+    # >=60 chained iters: the dev tunnel adds ~0.4-3 ms dispatch residue per
+    # ev() call, which inflates short loops ~20% (docs/PERF.md round 4 --
+    # the BENCH_ALL-vs-r4c eval-row delta); 10-iter loops are NOT trustworthy.
+    ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--mesh", action="store_true",
                     help="run the sharded evaluator over a Mesh of all devices "
                          "(on one chip this measures the sharded path's overhead)")
