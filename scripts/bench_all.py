@@ -35,7 +35,41 @@ MATRIX = [
 ]
 
 
+def normalize_row(row):
+    """Coerce a collected row to the documented {metric, value, unit} schema.
+
+    Historic emitters printed throughput under ``images_per_sec`` with no
+    ``value`` key, and pallas_parity.py printed its raw record with no
+    ``metric`` at all; every emitter now prints schema-conformant lines, and
+    this keeps old artifacts / stray rows consistent (``--normalize``)."""
+    row = dict(row)
+    if "metric" not in row:
+        if "pallas_vs_mxu_max_abs" in row:  # legacy pallas-parity blob
+            row = {"metric": "pallas_crop_parity_max_abs_vs_mxu",
+                   "value": row["pallas_vs_mxu_max_abs"], "unit": "abs_err",
+                   "detail": "PALLAS_PARITY.json",
+                   "cmd": row.get("cmd", "python scripts/pallas_parity.py")}
+        elif "error" in row:
+            row.setdefault("metric", "error")
+            row.setdefault("value", None)
+            row.setdefault("unit", "")
+    if row.get("value") is None and row.get("images_per_sec") is not None:
+        row["value"] = row["images_per_sec"]
+        row.setdefault("unit", "imgs/s")
+    return row
+
+
 def main():
+    if "--normalize" in sys.argv:
+        path = os.path.join(ROOT, "BENCH_ALL.json")
+        with open(path) as f:
+            out = json.load(f)
+        out["results"] = [normalize_row(r) for r in out["results"]]
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        nulls = [r["metric"] for r in out["results"] if r.get("value") is None]
+        print(json.dumps({"normalized": len(out["results"]), "null_values": nulls}))
+        return
     results = []
     t0 = time.time()
     for cmd, env in MATRIX:
@@ -46,7 +80,7 @@ def main():
         lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
         for ln in lines:
             try:
-                results.append({**json.loads(ln), "cmd": " ".join(cmd), **env})
+                results.append(normalize_row({**json.loads(ln), "cmd": " ".join(cmd), **env}))
             except json.JSONDecodeError:
                 pass
         if not ok:

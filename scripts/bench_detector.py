@@ -81,6 +81,7 @@ def main():
                   + ("_rect" if args.rect else "")
                   + (f"_{args.quant}" if args.quant else "")
                   + ("_static" if args.quant_calib else ""),
+        "value": round(b / dt, 2),
         "images_per_sec": round(b / dt, 2),
         "ms_per_batch": round(dt * 1000, 2),
         "batch": b, "n_boxes_img0": int(len(out[0])),

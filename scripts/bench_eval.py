@@ -71,9 +71,10 @@ def main():
     s = canvas / max(input_shape)
     # Generate the canvas batch ON DEVICE: content is irrelevant to the
     # timing (same shapes/dtypes), and host->device staging of the uint8
-    # canvases (b256*640*640*3 = 314 MB) takes ~30 min over the ~10 MB/s
-    # dev tunnel.  The timed loop below is unchanged: device-resident
-    # inputs either way.
+    # canvases (b256*640*640*3 = 314 MB) costs ~13 s/batch over the dev
+    # tunnel (device_put measured at ~25 MB/s, 2026-08-20) — vs ~30 ms of
+    # compute, so staging per iteration would dominate the whole bench.
+    # The timed loop below is unchanged: device-resident inputs either way.
     batch = {
         "canvas": jax.jit(lambda k: jax.random.randint(
             k, (b, canvas, canvas, 3), 0, 255, "uint8"))(jax.random.key(0)),

@@ -96,6 +96,7 @@ def main():
                   + ("_f32" if args.no_amp else "")
                   + (f"_{args.quant}" if args.quant else "")
                   + ("_static" if args.quant_calib else "") + bucket,
+        "value": round(b / dt, 2),
         "images_per_sec": round(b / dt, 2),
         "pose_crops_per_sec": round(b * mp / dt, 1),
         "ms_per_batch": round(dt * 1000, 2),

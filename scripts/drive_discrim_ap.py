@@ -22,6 +22,7 @@ so its AP delta is 0 by construction.
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -47,6 +48,13 @@ def main():
     # mkdtemp dirs are wiped between driver sessions.
     tmp = os.environ.get("DISCRIM_DIR") or tempfile.mkdtemp(prefix="discrim_")
     os.makedirs(tmp, exist_ok=True)
+    # A rerun into a persistent DISCRIM_DIR with smaller DISCRIM_*_IMAGES
+    # would leave stale images from the prior generation in train/ and val/
+    # (the regenerated annotation JSON governs eval, but raw-dir consumers
+    # like drive_discrim_fusedl1.py would see mixed generations) -- clear
+    # the corpus subdirs before regenerating.  Checkpoints (weights/) stay.
+    for sub in ("train", "val"):
+        shutil.rmtree(os.path.join(tmp, sub), ignore_errors=True)
     # Corpus design, settled by chip bisection across many runs:
     #   * 1 person/image: 2-person identical-color distractors never leave
     #     the all-zeros loss plateau (colors encode joint identity, so the

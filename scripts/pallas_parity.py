@@ -84,7 +84,14 @@ def main():
                             "PALLAS_PARITY.json")
     with open(out_path, "w") as wf:
         json.dump(record, wf, indent=1)
-    print(json.dumps(record))
+    # One schema-conformant line for BENCH_ALL collection ({metric, value,
+    # unit}); the full parity record lives in PALLAS_PARITY.json.
+    print(json.dumps({
+        "metric": "pallas_crop_parity_max_abs_vs_mxu",
+        "value": record["pallas_vs_mxu_max_abs"],
+        "unit": "abs_err",
+        "detail": "PALLAS_PARITY.json",
+    }))
     assert record["pallas_vs_mxu_max_abs"] == 0.0, "pallas != mxu on hardware"
 
 

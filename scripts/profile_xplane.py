@@ -39,7 +39,7 @@ def capture_eval():
                        fused_layer1=os.environ.get("PROF_FUSEDL1") == "1")
     s = canvas / 256
     # canvas generated on device: host->device staging of the uint8 batch
-    # is tunnel-limited (~10 MB/s) in this dev environment (see bench_eval)
+    # is tunnel-limited (~25 MB/s measured) in this dev env (see bench_eval)
     b = {
         "canvas": jax.jit(lambda k: jax.random.randint(
             k, (batch, canvas, canvas, 3), 0, 255, "uint8"))(jax.random.key(0)),
