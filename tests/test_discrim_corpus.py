@@ -4,11 +4,13 @@ small sub-pixel-scale errors score strictly inside (0, 1), and the AP is
 monotone in the error magnitude — the property the saturated overfit set
 lacks (a gate that starts at 1.0 cannot see tenths-of-AP drift)."""
 
+import os
+
 import numpy as np
 import pytest
 
 from simple_pose_tpu.metrics.cocoeval import CocoKeypointsGT, KeypointEval
-from tests.util_synth import make_discriminative_coco
+from tests.util_synth import make_discriminative_coco, make_flipsym_coco
 
 
 @pytest.fixture(scope="module")
@@ -50,6 +52,82 @@ def test_corpus_properties(corpus):
 
 def test_ap_is_discriminative(corpus):
     _, _, gt = corpus
+    ap_perfect = _ap(gt, _predict_from_gt(gt, 0.0))
+    ap_small = _ap(gt, _predict_from_gt(gt, 2.0))
+    ap_big = _ap(gt, _predict_from_gt(gt, 6.0))
+    assert ap_perfect > 0.999
+    assert 0.0 < ap_big < ap_small < 1.0, (ap_perfect, ap_small, ap_big)
+
+
+# ---------------------------------------------------------------------------
+# Flip-symmetric corpus (make_flipsym_coco): the positive flip-test gate's
+# corpus must satisfy the properties that make flip-test well-posed.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def flipsym(tmp_path_factory):
+    root = tmp_path_factory.mktemp("flipsym")
+    return make_flipsym_coco(str(root), num_images=10, seed=321,
+                             scale_range=(9.0, 16.0), occlude_frac=0.0)
+
+
+def _nearest_palette(px, palette):
+    d = [np.sum((np.asarray(px, np.float64) - np.asarray(c)) ** 2) for c in palette]
+    return int(np.argmin(d))
+
+
+def _flipsym_palette():
+    import cv2 as cv
+
+    return [tuple(int(v) for v in cv.cvtColor(
+        np.uint8([[[int(c * 180 / 9), 255, 255]]]), cv.COLOR_HSV2BGR)[0, 0])
+        for c in range(9)]
+
+
+def test_flipsym_pair_colors_and_identifiability(flipsym):
+    """Each L/R pair shares one palette color (appearance is mirror-
+    invariant) and that color is recoverable at the marker center in the
+    SAVED jpeg (the lesson of the 4:2:0 palette failure, util_synth.py)."""
+    import cv2 as cv
+
+    img_root, _, gt = flipsym
+    palette = _flipsym_palette()
+    by_img = {im["id"]: im["file_name"] for im in gt["images"]}
+    hits = total = 0
+    for ann in gt["annotations"]:
+        img = cv.imread(os.path.join(img_root, by_img[ann["image_id"]]))
+        kp = np.asarray(ann["keypoints"], np.float64).reshape(17, 3)
+        for j in range(17):
+            want = 0 if j == 0 else 1 + (j - 1) // 2
+            got = _nearest_palette(
+                img[int(round(kp[j, 1])), int(round(kp[j, 0]))], palette)
+            hits += got == want
+            total += 1
+    assert hits / total > 0.92, f"marker identifiability {hits}/{total}"
+
+
+def test_flipsym_side_convention_and_flip_consistency(flipsym):
+    """Left pair members sit strictly at +x of their right sibling (identity
+    = layout side, as on real bodies), and a horizontally flipped sample --
+    np.fliplr image + flip_joints GT (the exact aug/flip-test semantics,
+    joint_utils.py:102-112) -- satisfies the SAME invariant, i.e. flipping
+    is in-distribution (what makes flip-test well-posed on this corpus)."""
+    from simple_pose_tpu.data.coco import JOINT_PAIRS
+    from simple_pose_tpu.ops.affine import flip_joints
+
+    _, _, gt = flipsym
+    width = gt["images"][0]["width"]
+    for ann in gt["annotations"]:
+        kp = np.asarray(ann["keypoints"], np.float64).reshape(17, 3)
+        for left, right in JOINT_PAIRS:
+            assert kp[left, 0] > kp[right, 0] + 1.0, (left, right)
+        kpf = flip_joints(kp, width, JOINT_PAIRS)
+        for left, right in JOINT_PAIRS:
+            assert kpf[left, 0] > kpf[right, 0] + 1.0, ("flipped", left, right)
+
+
+def test_flipsym_ap_is_discriminative(flipsym):
+    _, _, gt = flipsym
     ap_perfect = _ap(gt, _predict_from_gt(gt, 0.0))
     ap_small = _ap(gt, _predict_from_gt(gt, 2.0))
     ap_big = _ap(gt, _predict_from_gt(gt, 6.0))

@@ -63,6 +63,150 @@ def make_synth_coco(root, num_images=8, img_w=160, img_h=128, seed=0, people_per
     return img_root, ann_path, gt
 
 
+# Canonical skeleton layout for the flip-symmetric corpus, in units of the
+# per-person spread ``s`` (x = person's left = image +x for these
+# front-facing bodies; y grows downward).  Joint order is COCO: 0 nose, then
+# (left, right) interleaved pairs.  Min pairwise distance across the layout
+# is ~0.6 s, so blobs (radius ~3 px at s >= 8) never overdraw each other.
+_FLIPSYM_LAYOUT = {
+    0: (0.0, -2.4),        # nose (unpaired)
+    # pair index -> (|x| offset, y): both members share it, signs differ
+    1: (0.45, -1.8),       # eyes
+    2: (1.05, -2.1),       # ears
+    3: (0.95, -1.0),       # shoulders
+    4: (1.55, -0.2),       # elbows
+    5: (1.75, 0.7),        # wrists
+    6: (0.50, 0.45),       # hips
+    7: (0.65, 1.45),       # knees
+    8: (0.80, 2.4),        # ankles
+}
+# limb segments (joint-index pairs) drawn in a per-person gray so joints
+# group visually by body (appearance is mirror-symmetric: gray, and the
+# edge set maps to itself under the L/R joint swap)
+_FLIPSYM_LIMBS = [
+    (5, 7), (7, 9), (6, 8), (8, 10),     # arms
+    (11, 13), (13, 15), (12, 14), (14, 16),  # legs
+    (5, 6), (11, 12), (5, 11), (6, 12),  # torso
+    (0, 5), (0, 6),                      # neck
+]
+
+
+def make_flipsym_coco(root, num_images=24, img_w=192, img_h=160, seed=100,
+                      people_per_image=1, scale_range=(10.0, 16.0),
+                      occlude_frac=0.0, blob_sigma=2.5, draw_limbs=True,
+                      min_center_sep=2.8):
+    """Flip-SYMMETRIC discriminative corpus: joint identity survives
+    mirroring, so flip-test eval must be ~neutral-or-better here (the
+    positive gate VERDICT r4 #1 asks for), unlike make_discriminative_coco
+    where 17 distinct colors encode identity and mirroring is 50% label
+    noise on every L/R pair (measured -0.66 AP, DISCRIM_AP.json).
+
+    Construction (mirrors how real COCO resolves left/right):
+      * each L/R pair shares ONE color (9-hue palette: nose + 8 pairs), so
+        appearance is invariant under horizontal flip;
+      * identity within a pair comes from a consistent body layout
+        (_FLIPSYM_LAYOUT): the left member always sits at +x from the body
+        axis, the right at -x, with positional jitter bounded so the side
+        never crosses zero.  A horizontally flipped image + swapped pair
+        labels (flip_joints) is therefore another in-distribution sample --
+        exactly the property that makes both flip AUGMENTATION and
+        flip-TEST (joint_utils.py:102-112 semantics) well-posed;
+      * hardness levers kept from make_discriminative_coco: float (sub-
+        pixel) GT vs rounded rendering, per-person scale sweep, optional
+        occluders, 4:4:4 q98 JPEG.
+
+    ``min_center_sep`` (units of the LARGER person's spread) controls
+    crowding: 2.8 keeps bodies disjoint; ~1.3-1.7 makes bboxes overlap (the
+    crowded detector-chain corpus, VERDICT r4 #2).
+
+    Returns (img_root, ann_path, gt).
+    """
+    import cv2 as cv
+
+    # 9 maximally-separated hues: index 0 = nose, 1 + pair_index for pairs
+    palette = [
+        tuple(int(v) for v in cv.cvtColor(
+            np.uint8([[[int(c * 180 / 9), 255, 255]]]), cv.COLOR_HSV2BGR)[0, 0])
+        for c in range(9)
+    ]
+    person_grays = [150.0, 195.0, 120.0, 225.0]  # limb shade cycles per instance
+    jpeg_params = [cv.IMWRITE_JPEG_QUALITY, 98,
+                   cv.IMWRITE_JPEG_SAMPLING_FACTOR, cv.IMWRITE_JPEG_SAMPLING_FACTOR_444]
+    rng = np.random.default_rng(seed)
+    img_root = os.path.join(root, "imgs")
+    os.makedirs(img_root, exist_ok=True)
+    if np.isscalar(people_per_image):
+        people_per_image = [int(people_per_image)] * num_images
+    assert len(people_per_image) == num_images
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, num_images + 1):
+        img = rng.integers(40, 120, size=(img_h, img_w, 3)).astype(np.float32)
+        file_name = f"{img_id:012d}.jpg"
+        images.append({"id": img_id, "width": img_w, "height": img_h,
+                       "coco_url": f"http://x/{file_name}", "file_name": file_name})
+        occluders, centers = [], []
+        for pi in range(people_per_image[img_id - 1]):
+            spread = rng.uniform(*scale_range)
+            # body extent: x within +-2.05 s (wrist 1.75 + jitter 0.3),
+            # y within +-2.8 s (ankle/nose 2.4 + jitter 0.4)
+            for _try in range(40):
+                cx = rng.uniform(2.1 * spread, img_w - 2.1 * spread)
+                cy = rng.uniform(2.9 * spread, img_h - 2.9 * spread)
+                if all((cx - a) ** 2 + (cy - b) ** 2 > (min_center_sep * max(spread, sp)) ** 2
+                       for a, b, sp in centers):
+                    break
+            centers.append((cx, cy, spread))
+            kp = np.zeros((17, 3), dtype=np.float64)
+            for j in range(17):
+                if j == 0:
+                    ox, oy = _FLIPSYM_LAYOUT[0]
+                else:
+                    mag, oy = _FLIPSYM_LAYOUT[1 + (j - 1) // 2]
+                    ox = mag if j % 2 == 1 else -mag  # odd = left = +x
+                jx = float(np.clip(rng.normal(0.0, 0.12), -0.30, 0.30))
+                jy = float(np.clip(rng.normal(0.0, 0.15), -0.40, 0.40))
+                if j == 0:
+                    jx = float(np.clip(jx, -0.25, 0.25))  # nose stays axial-ish
+                kp[j, 0] = np.clip(cx + (ox + jx) * spread, 2.0, img_w - 3.0)
+                kp[j, 1] = np.clip(cy + (oy + jy) * spread, 2.0, img_h - 3.0)
+            kp[:, 2] = 2
+            if draw_limbs:
+                g = person_grays[pi % len(person_grays)]
+                for a, b in _FLIPSYM_LIMBS:
+                    cv.line(img, (int(round(kp[a, 0])), int(round(kp[a, 1]))),
+                            (int(round(kp[b, 0])), int(round(kp[b, 1]))),
+                            (g, g, g), 2)
+            for j in range(17):
+                ci = 0 if j == 0 else 1 + (j - 1) // 2
+                cv.circle(img, (int(round(kp[j, 0])), int(round(kp[j, 1]))),
+                          max(2, int(round(blob_sigma))), palette[ci], -1)
+            for j in range(17):
+                if rng.uniform() < occlude_frac:
+                    occluders.append((kp[j, 0], kp[j, 1], max(2.0, blob_sigma * 2.5)))
+            x0, y0 = kp[:, 0].min() - 5, kp[:, 1].min() - 5
+            x1, y1 = kp[:, 0].max() + 5, kp[:, 1].max() + 5
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "keypoints": kp.reshape(-1).tolist(), "num_keypoints": 17,
+                "area": float((x1 - x0) * (y1 - y0)),
+                "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+                "iscrowd": 0,
+            })
+            ann_id += 1
+        for (ox, oy, r) in occluders:
+            img[int(max(0, oy - r)):int(oy + r) + 1,
+                int(max(0, ox - r)):int(ox + r) + 1] = 96.0
+        cv.imwrite(os.path.join(img_root, file_name),
+                   np.clip(img, 0, 255).astype(np.uint8), jpeg_params)
+    gt = {"images": images, "annotations": annotations,
+          "categories": [{"id": 1, "name": "person"}]}
+    ann_path = os.path.join(root, "ann.json")
+    with open(ann_path, "w") as wf:
+        json.dump(gt, wf)
+    return img_root, ann_path, gt
+
+
 def make_discriminative_coco(root, num_images=24, img_w=192, img_h=160, seed=100,
                              people_per_image=2, scale_range=(6.0, 26.0),
                              occlude_frac=0.15, blob_sigma=1.6, joint_sep=0.0):
