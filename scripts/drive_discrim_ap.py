@@ -8,8 +8,11 @@ pose_metrics.py:176 are tenths-of-AP).
     python scripts/drive_discrim_ap.py                     # ambient backend
     DISCRIM_MODEL=pose_hrnet:w32 DISCRIM_OUT=DISCRIM_HRNET.json ...
     DISCRIM_EPOCHS=400 python scripts/drive_discrim_ap.py
+    DISCRIM_CORPUS=flipsym python scripts/drive_discrim_ap.py   # positive
+        flip-test gate: pair-shared colors, layout-resolved identity,
+        flip aug ON -> DISCRIM_FLIP.json (color corpus = negative control)
 
-Writes DISCRIM_AP.json (or $DISCRIM_OUT) at the repo root:
+Writes DISCRIM_AP.json (or $DISCRIM_OUT / DISCRIM_FLIP.json) at the repo root:
   * train_ap   — AP on the training corpus (memorization check, ~1.0)
   * float_ap   — held-out AP, must land in (0.2, 0.98) to count as
                  discriminative
@@ -38,7 +41,7 @@ def main():
 
     from simple_pose_tpu.train.config import load_config
     from simple_pose_tpu.train.solver import PoseSolver
-    from tests.util_synth import make_discriminative_coco, make_synth_coco
+    from tests.util_synth import make_discriminative_coco, make_flipsym_coco
 
     epochs = int(os.environ.get("DISCRIM_EPOCHS", 300))
     val_every = int(os.environ.get("DISCRIM_VAL_EVERY", 50))
@@ -77,13 +80,31 @@ def main():
     # (0.2, 0.98) -- NOT the four-knobs-at-once jump (2 people + scale
     # 6.5-22 + occlusion + fatter blobs) that scored exactly 0.0 on the
     # first full run.
-    base = dict(people_per_image=1, blob_sigma=2.5, joint_sep=7.0,
-                img_w=160, img_h=128)
-    tr_root, tr_ann, _ = make_discriminative_coco(
+    # DISCRIM_CORPUS selects the marker semantics:
+    #   color   (default) — 17 distinct colors encode joint identity;
+    #           mirroring is 50% label noise on every L/R pair, so aug_flip
+    #           stays OFF and the flip_test variant is the NEGATIVE control
+    #           (measured -0.66, DISCRIM_AP.json — wrong BY DESIGN).
+    #   flipsym — each L/R pair shares one color, identity resolved by a
+    #           consistent body layout (left member strictly at +x of its
+    #           right sibling, preserved under np.fliplr+flip_joints) — the
+    #           corpus where flip aug is in-distribution and flip-TEST must
+    #           be ~neutral-or-better (the positive gate, VERDICT r4 #1).
+    corpus = os.environ.get("DISCRIM_CORPUS", "color")
+    if corpus == "flipsym":
+        make_corpus = make_flipsym_coco
+        base = dict(people_per_image=1, blob_sigma=2.5, img_w=160, img_h=128)
+        aug_flip, default_out = True, "DISCRIM_FLIP.json"
+    else:
+        make_corpus = make_discriminative_coco
+        base = dict(people_per_image=1, blob_sigma=2.5, joint_sep=7.0,
+                    img_w=160, img_h=128)
+        aug_flip, default_out = False, "DISCRIM_AP.json"
+    tr_root, tr_ann, _ = make_corpus(
         os.path.join(tmp, "train"),
         num_images=int(os.environ.get("DISCRIM_TRAIN_IMAGES", 256)), seed=100,
         scale_range=(10.0, 16.0), occlude_frac=0.0, **base)
-    va_root, va_ann, _ = make_discriminative_coco(
+    va_root, va_ann, _ = make_corpus(
         os.path.join(tmp, "val"), seed=777,
         num_images=int(os.environ.get("DISCRIM_VAL_IMAGES", 48)),
         scale_range=(float(os.environ.get("DISCRIM_VAL_SCALE_LO", 8.0)),
@@ -116,17 +137,21 @@ def main():
             "augment": os.environ.get("DISCRIM_AUGMENT", "1") == "1",
             "aug_scale": [0.9, 1.1],
             "aug_rot": [-12.0, 12.0],
-            # flip aug is 50% label noise on color-coded markers (colors
-            # encode joint identity; flipping swaps the left/right labels
-            # but not the colors) -- THE all-zeros basin of runs 1/6/7
-            "aug_flip": False,
+            # color corpus: flip aug is 50% label noise on color-coded
+            # markers (flipping swaps the left/right labels but not the
+            # colors) -- THE all-zeros basin of runs 1/6/7.  flipsym
+            # corpus: flip is in-distribution, so it is ON (the point).
+            "aug_flip": aug_flip,
         },
         "model": {"type": mtype, "name": mname, "num_joints": 17},
         "optim": {"lr": 1e-3, "milestones": [max(2, epochs - 100)], "epochs": epochs,
                   "gamma": 0.1, "amp": amp},
         "val": {"interval": 1, "weight_path": os.path.join(tmp, "weights")},
         "mesh": {"data": len(jax.devices())},
-        "seed": 11,
+        # DISCRIM_SEED varies init+data order for the error-bar runs
+        # (VERDICT r4 #4: variant deltas need a corpus-noise floor under
+        # them); corpus seeds stay fixed so every seed sees the same data.
+        "seed": int(os.environ.get("DISCRIM_SEED", 11)),
     })
     solver = PoseSolver(cfg)
     solver.init_state()
@@ -177,9 +202,12 @@ def main():
 
         run("mesh_sharded", mesh=make_mesh({"data": len(jax.devices())}))
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = {
         "backend": jax.default_backend(),
         "model": f"{mtype}:{mname}",
+        "corpus": corpus,
+        "seed": int(os.environ.get("DISCRIM_SEED", 11)),
         "devices": len(jax.devices()),
         "epochs_run": last_ep + 1,
         "ap_by_epoch": ap_by_epoch,
@@ -189,8 +217,20 @@ def main():
         "variants": variants,
         "wall_s": round(time.perf_counter() - t0, 1),
     }
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           os.environ.get("DISCRIM_OUT", "DISCRIM_AP.json")), "w") as f:
+    if corpus == "flipsym":
+        # keep the color corpus's wrong-by-design flip row alongside as the
+        # negative control (VERDICT r4 next-round #1 asks for both)
+        try:
+            with open(os.path.join(repo, "DISCRIM_AP.json")) as f:
+                neg = json.load(f)
+            out["negative_control"] = {
+                "corpus": "color (joint identity encoded in colors; flip = label noise)",
+                "flip_test_delta": neg["variants"]["flip_test"]["delta_vs_float"],
+                "source": "DISCRIM_AP.json",
+            }
+        except (OSError, KeyError):
+            pass
+    with open(os.path.join(repo, os.environ.get("DISCRIM_OUT", default_out)), "w") as f:
         json.dump(out, f)
     print(json.dumps(out), flush=True)
 
