@@ -133,3 +133,66 @@ def test_flipsym_ap_is_discriminative(flipsym):
     ap_big = _ap(gt, _predict_from_gt(gt, 6.0))
     assert ap_perfect > 0.999
     assert 0.0 < ap_big < ap_small < 1.0, (ap_perfect, ap_small, ap_big)
+
+
+# ---------------------------------------------------------------------------
+# Detector-chain corpus + synthetic detections (drive_discrim_detchain):
+# the simulator must produce the three populations the rescore/OKS-NMS
+# chain exists to handle, deterministically under a seed.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def crowded(tmp_path_factory):
+    root = tmp_path_factory.mktemp("crowded")
+    return make_flipsym_coco(str(root), num_images=8, seed=777,
+                             img_w=256, img_h=192, people_per_image=[3, 4] * 4,
+                             scale_range=(9.0, 13.0), min_center_sep=1.7)
+
+
+def test_crowded_boxes_overlap(crowded):
+    """The crowded knobs (3-4 people on 256x192) must actually produce
+    overlapping person boxes: min_center_sep only FLOORS the separation,
+    density creates the overlaps (the regime where OKS-NMS has work)."""
+    _, _, gt = crowded
+    by_img = {}
+    for a in gt["annotations"]:
+        by_img.setdefault(a["image_id"], []).append(a["bbox"])
+    n_overlap = 0
+    for boxes in by_img.values():
+        for i in range(len(boxes)):
+            for j in range(i + 1, len(boxes)):
+                ax, ay, aw, ah = boxes[i]
+                bx, by, bw, bh = boxes[j]
+                ix = min(ax + aw, bx + bw) - max(ax, bx)
+                iy = min(ay + ah, by + bh) - max(ay, by)
+                n_overlap += (ix > 0) and (iy > 0)
+    assert n_overlap >= len(by_img), f"only {n_overlap} overlapping pairs"
+
+
+def test_synth_detections_populations(crowded):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "drive_discrim_detchain",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "drive_discrim_detchain.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    _, _, gt = crowded
+    dets, stats = mod.synth_detections(gt, seed=2025)
+    dets2, _ = mod.synth_detections(gt, seed=2025)
+    assert dets == dets2, "simulator must be deterministic under a seed"
+    assert stats["true"] == len(gt["annotations"])
+    assert stats["dup"] >= len(gt["annotations"])          # >=1 duplicate each
+    assert stats["fp"] == 2 * len(gt["images"])
+    assert len(dets) == stats["true"] + stats["dup"] + stats["fp"]
+    scores = np.array([d["score"] for d in dets])
+    assert scores.min() > 0.0 and scores.max() < 1.0
+    # false positives must be able to OUTRANK true boxes on raw box score
+    # (what makes the rescore stage load-bearing)
+    fps = scores[-stats["fp"]:]
+    assert fps.max() > 0.85
+    for d in dets:
+        x, y, w, h = d["bbox"]
+        assert w > 0 and h > 0
