@@ -13,6 +13,7 @@ from simple_pose_tpu.models.resnet import RESNET_SPECS
     ("pose_resnet_dconv", "resnet18", {"reduction": True}),
     ("pose_resnet_duc", "resnet18", {"reduction": False}),
     ("pose_hrnet", "w32", {}),
+    ("pose_hrnet", "w48", {}),
 ])
 def test_forward_shape(mtype, name, kwargs):
     m = build_model(mtype, name, num_joints=17, **kwargs)

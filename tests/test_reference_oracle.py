@@ -377,14 +377,18 @@ def test_pose_resnet_reference_forward_parity(name, head, se):
     np.testing.assert_allclose(got, ref_out, atol=2e-3)
 
 
-def test_pose_hrnet_w32_reference_forward_parity():
+@pytest.mark.parametrize("width", ["w32", "w48"])
+def test_pose_hrnet_reference_forward_parity(width):
     """The genuine PoseHighResolutionNet built from the reference's own
-    hrnet_w32.yaml (pose_hrnet.py:268-486) vs our loader on the same YAML."""
+    topology YAML (pose_hrnet.py:268-486, nets/hrnet_w32.yaml /
+    nets/hrnet_w48.yaml) vs our loader on the same YAML — and our built-in
+    '{width}' alias must reproduce the YAML-built tree exactly (same
+    shapes, same forward)."""
     hr = ref().hrnet
     from simple_pose_tpu.convert.torch2flax import convert_torch_state, merge_converted
     from simple_pose_tpu.models.hrnet import build_hrnet
 
-    yaml_path = os.path.join(REF_ROOT, "nets", "hrnet_w32.yaml")
+    yaml_path = os.path.join(REF_ROOT, "nets", f"hrnet_{width}.yaml")
     torch.manual_seed(1)
     t = hr.get_pose_net(yaml_path, pretrained=None, joint_num=17)
     _randomize(t, conv_std=0.03, seed=23)
@@ -403,6 +407,16 @@ def test_pose_hrnet_w32_reference_forward_parity():
     with torch.no_grad():
         ref_out = _to_nhwc(t(_nchw(x)))
     np.testing.assert_allclose(got, ref_out, atol=2e-3)
+
+    # registry alias ('w32'/'w48' -> HRNET_*_CFG) == the reference YAML:
+    # identical param shapes (eval_shape, no second init) and the alias
+    # module applied to the YAML-converted weights gives the same heatmaps.
+    alias = build_hrnet(width, num_joints=17)
+    a_shapes = jax.eval_shape(lambda: alias.init(jax.random.PRNGKey(0), jnp.asarray(x)))
+    y_shapes = jax.eval_shape(lambda: f.init(jax.random.PRNGKey(0), jnp.asarray(x)))
+    assert jax.tree.map(lambda s: s.shape, a_shapes) == jax.tree.map(lambda s: s.shape, y_shapes)
+    alias_out = np.asarray(alias.apply(merged, jnp.asarray(x)))
+    np.testing.assert_array_equal(alias_out, got)
 
 
 # ---------------------------------------------------------------- detector
