@@ -32,7 +32,15 @@ MATRIX = [
     (["python", "scripts/bench_fused.py"], {}),
     (["python", "scripts/bench_fused.py", "--detector-family", "yolov4"], {}),
     (["python", "scripts/pallas_parity.py"], {}),
+    # HRNet-W48: first-class reference topology (nets/hrnet_w48.yaml)
+    (["python", "bench.py"], {"BENCH_BATCH": "128", "BENCH_MODEL": "pose_hrnet:w48"}),
+    (["python", "scripts/bench_eval.py", "--model-type", "pose_hrnet",
+      "--model-name", "w48"], {}),
 ]
+
+
+def _row_key(cmd, env):
+    return " ".join(cmd) + "|" + json.dumps(env, sort_keys=True)
 
 
 def normalize_row(row):
@@ -70,9 +78,17 @@ def main():
         nulls = [r["metric"] for r in out["results"] if r.get("value") is None]
         print(json.dumps({"normalized": len(out["results"]), "null_values": nulls}))
         return
+    # --filter SUBSTR: run only the matrix entries whose command line
+    # contains SUBSTR and MERGE their rows into the existing BENCH_ALL.json
+    # (replacing rows from the same entry) -- adding one model's rows
+    # shouldn't force re-running (and re-compiling) the whole matrix.
+    filt = None
+    if "--filter" in sys.argv:
+        filt = sys.argv[sys.argv.index("--filter") + 1]
+    matrix = [(c, e) for c, e in MATRIX if filt is None or filt in _row_key(c, e)]
     results = []
     t0 = time.time()
-    for cmd, env in MATRIX:
+    for cmd, env in matrix:
         print("::", " ".join(cmd), env or "", flush=True)
         proc = subprocess.run(cmd, cwd=ROOT, env={**os.environ, **env},
                               capture_output=True, text=True)
@@ -87,10 +103,22 @@ def main():
             results.append({"cmd": " ".join(cmd), **env, "error": proc.stderr[-500:]})
         print(proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "(no output)",
               flush=True)
-    out = {"wall_s": round(time.time() - t0, 1), "results": results}
-    with open(os.path.join(ROOT, "BENCH_ALL.json"), "w") as f:
+    path = os.path.join(ROOT, "BENCH_ALL.json")
+    if filt is not None and os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+        ran = {_row_key(c, e) for c, e in matrix}
+        kept = [r for r in out["results"]
+                if _row_key(r.get("cmd", "").split(), {
+                    k: v for k, v in r.items()
+                    if k.startswith("BENCH_")}) not in ran]
+        out["results"] = kept + results
+        out["wall_s"] = round(out.get("wall_s", 0) + time.time() - t0, 1)
+    else:
+        out = {"wall_s": round(time.time() - t0, 1), "results": results}
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({"wrote": "BENCH_ALL.json", "entries": len(results),
+    print(json.dumps({"wrote": "BENCH_ALL.json", "entries": len(out["results"]),
                       "wall_s": out["wall_s"]}))
 
 

@@ -21,7 +21,13 @@ LOGDIR = os.environ.get("PROF_LOGDIR", "/tmp/sp_profile")
 
 
 def capture_eval():
-    """Trace the PoseEvaluator step (crop -> forward -> decode)."""
+    """Trace the PoseEvaluator step (crop -> forward -> decode).
+
+    PROF_QUANT=w8a8 traces the quantized program; PROF_QUANT_STATIC=1
+    additionally calibrates static activation scales on the synthetic batch
+    first (scale VALUES don't change the compiled graph structure, which is
+    what the folded-int8 question is about: do the dequant->BN->relu->
+    requant boundary f32 tensors hit HBM or fuse into the conv epilogue?)."""
     import jax
     import jax.numpy as jnp
 
@@ -33,11 +39,14 @@ def capture_eval():
     batch = int(os.environ.get("PROF_BATCH", 128))
     model_name = os.environ.get("PROF_MODEL", "pose_resnet_dconv:resnet50")
     mtype, mname = model_name.split(":")
-    canvas = 640
+    canvas = int(os.environ.get("PROF_CANVAS", 640))
+    quant = os.environ.get("PROF_QUANT") or None
     ev = PoseEvaluator({"type": mtype, "name": mname, "num_joints": 17,
-                        "reduction": mtype != "pose_hrnet"}, None, (192, 256),
+                        "reduction": mtype != "pose_hrnet"}, None,
+                       tuple(int(v) for v in os.environ.get("PROF_INPUT", "192,256").split(",")),
+                       quant=quant,
                        fused_layer1=os.environ.get("PROF_FUSEDL1") == "1")
-    s = canvas / 256
+    s = canvas / 256  # decomposition scale; exact value irrelevant to timing
     # canvas generated on device: host->device staging of the uint8 batch
     # is tunnel-limited (~25 MB/s measured) in this dev env (see bench_eval)
     b = {
@@ -48,6 +57,8 @@ def capture_eval():
         "trans_inv": jax.device_put(np.tile(
             np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (batch, 1, 1))),
     }
+    if quant and os.environ.get("PROF_QUANT_STATIC") == "1":
+        ev.calibrate([b], num_batches=1)
     out = ev._step(ev.variables, ev._layer1_folded, b)
     float(jnp.sum(out["kps"]))
     with jax.profiler.trace(LOGDIR):
@@ -132,11 +143,62 @@ def report(top=40):
     print(json.dumps({"wrote": out_path, "bytes": os.path.getsize(out_path)}))
 
 
+def summarize(top=30, out=None):
+    """Reduce op_stats.json (gviz table) to the fields the HBM-boundary
+    question needs: per-op self time, bytes/bandwidth, bound_by.  Prints one
+    JSON line per top op and an aggregate by category."""
+    with open(os.path.join(LOGDIR, "op_stats.json")) as f:
+        data = json.load(f)
+    table = data[0] if isinstance(data, list) else data
+    cols = [c.get("label") or c.get("id") for c in table["cols"]]
+    rows = [[(c or {}).get("v") for c in r["c"]] for r in table["rows"]]
+    recs = [dict(zip(cols, r)) for r in rows]
+
+    def pick(rec, *subs):
+        for k, v in rec.items():
+            kl = (k or "").lower()
+            if all(s in kl for s in subs):
+                return v
+        return None
+
+    if any("host/device" in (c or "").lower() for c in cols):
+        dev = [r for r in recs if str(pick(r, "host/device")).lower() == "device"]
+        recs = dev or recs  # CPU captures have no device plane; keep all
+    for rec in recs:
+        rec["_self_us"] = pick(rec, "self", "time") or pick(rec, "total", "self") or 0
+    recs.sort(key=lambda r: -(r["_self_us"] or 0))
+    print(json.dumps({"columns": cols}))
+    picked = []
+    for rec in recs[:top]:
+        picked.append({
+            "op": pick(rec, "op", "name") or pick(rec, "name"),
+            "category": pick(rec, "category") or pick(rec, "type"),
+            "occurrences": pick(rec, "occur"),
+            "self_us": rec["_self_us"],
+            "bound_by": pick(rec, "bound"),
+            "gbps": pick(rec, "bandwidth") or pick(rec, "gb"),
+            "flop_rate": pick(rec, "flop", "rate") or pick(rec, "gflop"),
+        })
+        print(json.dumps(picked[-1]))
+    by_cat = {}
+    for rec in recs:
+        cat = pick(rec, "category") or pick(rec, "type") or "?"
+        by_cat[cat] = by_cat.get(cat, 0.0) + float(rec["_self_us"] or 0)
+    agg = dict(sorted(by_cat.items(), key=lambda kv: -kv[1]))
+    print(json.dumps({"self_time_by_category": agg}))
+    if out:
+        with open(out, "w") as f:
+            json.dump({"top_ops": picked, "self_time_by_category": agg}, f)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     if mode == "eval":
         capture_eval()
         report()
+    elif mode == "summarize":
+        summarize(top=int(os.environ.get("PROF_TOP", 30)),
+                  out=os.environ.get("PROF_SUMMARY_OUT"))
     else:
         if mode in ("all", "capture"):
             capture()
