@@ -26,10 +26,12 @@ PROF_LOGDIR=/tmp/sp_prof_q_dconv PROF_SUMMARY_OUT=/tmp/quant_dconv_summary.json 
     timeout 600 python scripts/profile_xplane.py summarize
 
 # 3+4) VERDICT #4 — error bar under the color-corpus discrim deltas:
-#      two more dconv seeds (seed 11 = the committed DISCRIM_AP.json).
-DISCRIM_SEED=12 DISCRIM_OUT=DISCRIM_AP_s12.json \
+#      two more dconv seeds.  DISCRIM_EPOCHS=600 matches the committed
+#      seed-11 run (DISCRIM_AP.json epochs_run=600) — a 300-epoch seed
+#      would conflate undertraining with seed noise.
+DISCRIM_SEED=12 DISCRIM_EPOCHS=600 DISCRIM_OUT=DISCRIM_AP_s12.json \
     timeout 3000 python scripts/drive_discrim_ap.py
-DISCRIM_SEED=13 DISCRIM_OUT=DISCRIM_AP_s13.json \
+DISCRIM_SEED=13 DISCRIM_EPOCHS=600 DISCRIM_OUT=DISCRIM_AP_s13.json \
     timeout 3000 python scripts/drive_discrim_ap.py
 timeout 300 python scripts/aggregate_discrim_seeds.py \
     DISCRIM_AP.json DISCRIM_AP_s12.json DISCRIM_AP_s13.json || true
