@@ -68,20 +68,25 @@ def main():
             "trans_inv": np.tile(np.array([[4 * s, 0, 0], [0, 4 * s, 0]], np.float32), (b, 1, 1)),
         }
 
-    def chained_ms(step_of_trans, batch_trans, iters=iters):
-        """step_of_trans(trans) -> scalar; carry-inject into trans, one
-        dispatch for the whole loop, return ms/iter (+ a 2nd-run check)."""
+    def chained_ms(step_of_trans, batch_trans, *ops, iters=iters):
+        """step_of_trans(trans, *ops) -> scalar; carry-inject into trans, one
+        dispatch for the whole loop, return ms/iter.  Every large operand
+        (weights, canvases) MUST come in through *ops: jit arguments are
+        traced parameters, while closed-over arrays are embedded as
+        constants in the HLO — and the axon tunnel's remote_compile rejects
+        request bodies that big (HTTP 413 on the fused program's ~190 MB of
+        YOLOv5-l weights, 2026-08-21)."""
 
         @jax.jit
-        def run():
+        def run(batch_trans, *ops):
             def body(i, acc):
                 t = batch_trans + acc * 1e-30 + i.astype(jnp.float32) * 1e-6
-                return step_of_trans(t) * 1e-12
+                return step_of_trans(t, *ops) * 1e-12
             return jax.lax.fori_loop(0, iters, body, jnp.zeros(()))
 
-        float(run())  # compile + warm
+        float(run(batch_trans, *ops))  # compile + warm
         t0 = time.perf_counter()
-        float(run())
+        float(run(batch_trans, *ops))
         ms = (time.perf_counter() - t0) / iters * 1e3
         return round(ms, 4)
 
@@ -92,6 +97,17 @@ def main():
                "value": ms, "unit": "ms/request_device"}
         rows.append(row)
         print(json.dumps(row), flush=True)
+        _write()  # incremental: a late-variant crash keeps the finished rows
+
+    def _write():
+        out = {"rows": rows, "iters": iters,
+               "backend": "tpu" if on_tpu else "cpu",
+               "note": "chained fori_loop, one dispatch per measurement; "
+                       "value = ms per batched call on DEVICE (divide by "
+                       "batch for ms/image).  Tunnel-inclusive p50 lives in "
+                       "BENCH_LATENCY.json."}
+        with open("BENCH_LATENCY_DEVICE.json", "w") as wf:
+            json.dump(out, wf, indent=1)
 
     pose_variants = [v for v in variants if v != "fused"]
     if pose_variants:
@@ -106,24 +122,26 @@ def main():
 
             if "live" in variants:
                 emit(f"{tag}_live_bf16", b, chained_ms(
-                    lambda t: jnp.sum(ev._step(ev.variables, ev._layer1_folded,
-                                               {"canvas": cv, "trans": t,
-                                                "trans_inv": ti})["kps"]), tr))
+                    lambda t, v, c, i: jnp.sum(ev._step(v, ev._layer1_folded,
+                                                        {"canvas": c, "trans": t,
+                                                         "trans_inv": i})["kps"]),
+                    tr, ev.variables, cv, ti))
             if "quant" in variants:
                 emit(f"{tag}_live_w8a8_static", b, chained_ms(
-                    lambda t: jnp.sum(ev_q._step(ev_q.variables, ev_q._layer1_folded,
-                                                 {"canvas": cv, "trans": t,
-                                                  "trans_inv": ti})["kps"]), tr))
+                    lambda t, v, c, i: jnp.sum(ev_q._step(v, ev_q._layer1_folded,
+                                                          {"canvas": c, "trans": t,
+                                                           "trans_inv": i})["kps"]),
+                    tr, ev_q.variables, cv, ti))
             if "export" in variants:
                 call = load_exported(
                     export_evaluator(ev, b, (canvas, canvas)).serialize()).call
                 emit(f"{tag}_exported_bf16", b, chained_ms(
-                    lambda t: jnp.sum(call(cv, t, ti)["kps"]), tr))
+                    lambda t, c, i: jnp.sum(call(c, t, i)["kps"]), tr, cv, ti))
             if "export_quant" in variants:
                 call_q = load_exported(
                     export_evaluator(ev_q, b, (canvas, canvas)).serialize()).call
                 emit(f"{tag}_exported_w8a8_static", b, chained_ms(
-                    lambda t: jnp.sum(call_q(cv, t, ti)["kps"]), tr))
+                    lambda t, c, i: jnp.sum(call_q(c, t, i)["kps"]), tr, cv, ti))
 
     if "fused" in variants:
         from simple_pose_tpu.evalkit.fused import FusedDetectPose
@@ -142,15 +160,11 @@ def main():
             dvars = jax.device_put(fused.detector.variables)
             pvars = jax.device_put(fused.pose_vars)
             emit(f"fused_yolov5_{'l' if on_tpu else 's'}_{tag}_bf16", b, chained_ms(
-                lambda t: jnp.sum(program(dvars, pvars, canvases, t,
-                                          *lb[1:])["kps"]), lb[0]))
+                lambda t, dv, pv, c, *rest: jnp.sum(
+                    program(dv, pv, c, t, *rest)["kps"]),
+                lb[0], dvars, pvars, canvases, *lb[1:]))
 
-    out = {"rows": rows, "iters": iters, "backend": "tpu" if on_tpu else "cpu",
-           "note": "chained fori_loop, one dispatch per measurement; "
-                   "ms/request on DEVICE (no tunnel RTT).  Tunnel-inclusive "
-                   "p50 lives in BENCH_LATENCY.json."}
-    with open("BENCH_LATENCY_DEVICE.json", "w") as wf:
-        json.dump(out, wf, indent=1)
+    _write()
     print("wrote BENCH_LATENCY_DEVICE.json")
 
 
